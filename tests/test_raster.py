@@ -1,0 +1,141 @@
+"""Rasterizer parity: vectorized TPU formulation (face3d/raster.py) vs the
+sequential NumPy spec (face3d/raster_ref.py, a re-statement of
+utils/cython/mesh_core.cpp)."""
+
+import numpy as np
+import pytest
+
+from voicepuppet_tpu.face3d import bfm as bfm_mod
+from voicepuppet_tpu.face3d import morph, raster, raster_ref
+
+
+H = W = 96
+
+
+def project_synthetic(seed=0, n=14, scale=40.0):
+    """A small sphere-patch mesh projected to screen space."""
+    model = bfm_mod.synthetic_bfm(num_theta=n, num_phi=n, seed=seed)
+    fm = morph.device_bfm(model)
+    coeff = bfm_mod.demo_coeff(model, batch=1, seed=seed + 1)
+    rec = morph.reconstruct(coeff, fm, image_size=float(H))
+    proj = np.asarray(rec.face_projection[0])
+    # recentre/scale into the canvas
+    proj = (proj - proj.mean(0)) * (scale / np.abs(
+        proj - proj.mean(0)).max()) + np.array([W / 2, H / 2])
+    z = np.asarray(rec.z_buffer[0])
+    verts = np.concatenate([proj, z], axis=1).astype(np.float32)
+    tris = np.asarray(fm.tri)
+    colors = np.asarray(rec.face_color[0])
+    colors = np.clip(colors, 0, 255).astype(np.int32).astype(np.float32)
+    return verts, tris, colors
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return project_synthetic()
+
+
+def test_render_colors_matches_sequential_spec(mesh):
+    verts, tris, colors = mesh
+    want_img, want_mask = raster_ref.render_colors_ref(verts, tris, colors,
+                                                       H, W)
+    got_img, got_mask = raster.render_colors(verts[None], colors[None],
+                                             tris, h=H, w=W, bb=16)
+    got_img, got_mask = np.asarray(got_img[0]), np.asarray(got_mask[0])
+    assert want_mask.sum() > 0  # mesh actually on screen
+    np.testing.assert_array_equal(got_mask, want_mask)
+    mismatch = np.mean(got_img[want_mask > 0] != want_img[want_mask > 0])
+    assert mismatch == 0.0, f"color mismatch fraction {mismatch}"
+
+
+def test_rasterize_triangles_matches_sequential_spec(mesh):
+    verts, tris, colors = mesh
+    want_d, want_t, want_w = raster_ref.rasterize_triangles_ref(
+        verts, tris, H, W)
+    out = raster.rasterize_triangles(verts[None], tris, h=H, w=W, bb=16)
+    got_d = np.asarray(out.depth_buffer[0])
+    got_t = np.asarray(out.triangle_buffer[0])
+    got_w = np.asarray(out.barycentric_weight[0])
+    np.testing.assert_allclose(got_d, want_d, atol=1e-4)
+    cov = want_t >= 0
+    # triangle ids must agree except where two triangles tie in depth
+    disagree = (got_t != want_t) & cov
+    assert disagree.mean() < 0.01
+    agree = (got_t == want_t) & cov
+    np.testing.assert_allclose(got_w[agree], want_w[agree], atol=1e-3)
+
+
+def test_degenerate_triangle_quirk():
+    # a zero-area triangle passes the inside test across its bbox
+    # (mesh_core.cpp:40-49) — both impls must agree.
+    verts = np.array([[10.0, 10.0, 1.0], [14.0, 10.0, 1.0],
+                      [12.0, 10.0, 1.0]], np.float32)
+    tris = np.array([[0, 1, 2]], np.int32)
+    colors = np.full((3, 3), 90.0, np.float32)
+    want_img, want_mask = raster_ref.render_colors_ref(verts, tris, colors,
+                                                       32, 32)
+    got_img, got_mask = raster.render_colors(verts[None], colors[None], tris,
+                                             h=32, w=32, bb=8)
+    np.testing.assert_array_equal(np.asarray(got_mask[0]), want_mask)
+    assert want_mask.sum() > 0
+
+
+def test_color_integer_truncation():
+    # (int)(c0+c1+c2)/3 semantics (mesh_core.cpp:219): colors 9,9,10 -> 9
+    verts = np.array([[2.0, 2.0, 1.0], [20.0, 2.0, 1.0],
+                      [2.0, 20.0, 1.0]], np.float32)
+    tris = np.array([[0, 1, 2]], np.int32)
+    colors = np.array([[9.0], [9.0], [10.0]], np.float32)
+    img, mask = raster.render_colors(verts[None], colors[None], tris,
+                                     h=32, w=32, bb=32)
+    assert np.asarray(img[0])[mask[0] > 0].max() == 9
+
+
+def test_occlusion_order_independence(mesh):
+    # Far triangle drawn before near one must lose regardless of index order.
+    verts = np.array([
+        [2.0, 2.0, 5.0], [28.0, 2.0, 5.0], [2.0, 28.0, 5.0],   # near
+        [2.0, 2.0, 1.0], [28.0, 2.0, 1.0], [2.0, 28.0, 1.0],   # far
+    ], np.float32)
+    colors = np.array([[200.0]] * 3 + [[50.0]] * 3, np.float32)
+    for order in ([[0, 1, 2], [3, 4, 5]], [[3, 4, 5], [0, 1, 2]]):
+        tris = np.array(order, np.int32)
+        img, mask = raster.render_colors(verts[None], colors[None], tris,
+                                         h=32, w=32, bb=32)
+        img = np.asarray(img[0])
+        assert img[10, 10, 0] == 200  # near triangle color wins
+
+
+def test_batched_render_is_per_frame(mesh):
+    verts, tris, colors = mesh
+    v2 = np.stack([verts, verts + np.array([5.0, 0.0, 0.0], np.float32)])
+    c2 = np.stack([colors, colors])
+    img, mask = raster.render_colors(v2, c2, tris, h=H, w=W, bb=16)
+    img0, mask0 = raster.render_colors(verts[None], colors[None], tris,
+                                       h=H, w=W, bb=16)
+    np.testing.assert_array_equal(np.asarray(img[0]), np.asarray(img0[0]))
+    assert not np.array_equal(np.asarray(mask[0]), np.asarray(mask[1]))
+
+
+def test_vertex_normals_scatter_matches_ref(rng):
+    tris = rng.randint(0, 50, size=(120, 3)).astype(np.int32)
+    tn = rng.randn(120, 3).astype(np.float32)
+    want = raster_ref.vertex_normals_ref(tn, tris, 50)
+    got = np.asarray(raster.vertex_normals(tn, tris, 50))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_render_texture_samples_texture():
+    verts = np.array([[2.0, 2.0, 1.0], [28.0, 2.0, 1.0],
+                      [2.0, 28.0, 1.0]], np.float32)
+    tris = np.array([[0, 1, 2]], np.int32)
+    tex = np.zeros((16, 16, 3), np.float32)
+    tex[:, :8] = 1.0
+    tex_coords = np.array([[0.0, 0.0], [15.0, 0.0], [0.0, 15.0]], np.float32)
+    img, depth = raster.render_texture(verts[None], tris, tex, tex_coords,
+                                       tris, h=32, w=32, bb=32,
+                                       bilinear=False)
+    img = np.asarray(img[0])
+    # left part of the triangle samples the bright half of the texture
+    assert img[4, 4, 0] == 1.0
+    assert img[4, 24, 0] == 0.0

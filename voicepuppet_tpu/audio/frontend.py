@@ -1,0 +1,146 @@
+"""Log-mel audio frontend, formulated as MXU matmuls.
+
+Numerically mirrors the reference's ``DataGenerator.extract_mfcc``
+(generator/generator.py:60-80): ``tf.signal.stft`` (periodic Hann, no
+centering/padding) -> magnitude -> ``tf.signal.linear_to_mel_weight_matrix``
+(HTK mel scale, bin 0 zeroed) -> ``log(mel + 1e-6)``.
+
+TPU-first design: instead of an FFT, the windowed DFT is expressed as two
+dense matmuls with precomputed cos/sin bases folded together with the Hann
+window, so the whole frontend is
+``frames[Bf,win] @ basis[win,2*bins] -> |.| -> @ mel[bins,n_mels] -> log``
+— three MXU ops with static shapes, trivially fused by XLA and batched over
+any number of frames.  A ``jnp.fft.rfft`` path is kept for cross-checking.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int) -> np.ndarray:
+    """Periodic Hann window, matching ``tf.signal.hann_window`` (the default
+    window of tf.signal.stft used at generator/generator.py:63)."""
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(
+        np.float32)
+
+
+def _hertz_to_mel(f):
+    # HTK mel scale used by tf.signal.linear_to_mel_weight_matrix.
+    return 1127.0 * np.log1p(np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def linear_to_mel_weight_matrix(num_mel_bins: int,
+                                num_spectrogram_bins: int,
+                                sample_rate: float,
+                                lower_edge_hertz: float,
+                                upper_edge_hertz: float) -> np.ndarray:
+    """NumPy re-derivation of ``tf.signal.linear_to_mel_weight_matrix``
+    (generator/generator.py:69-73): triangular mel filters on the HTK mel
+    scale, with the DC spectrogram bin zeroed."""
+    bands_to_zero = 1
+    nyquist = sample_rate / 2.0
+    linear_freqs = np.linspace(0.0, nyquist, num_spectrogram_bins)[
+        bands_to_zero:]
+    spectrogram_bins_mel = _hertz_to_mel(linear_freqs)[:, None]
+
+    band_edges_mel = np.linspace(_hertz_to_mel(lower_edge_hertz),
+                                 _hertz_to_mel(upper_edge_hertz),
+                                 num_mel_bins + 2)
+    lower_edge_mel = band_edges_mel[None, :-2]
+    center_mel = band_edges_mel[None, 1:-1]
+    upper_edge_mel = band_edges_mel[None, 2:]
+
+    lower_slopes = (spectrogram_bins_mel - lower_edge_mel) / (
+        center_mel - lower_edge_mel)
+    upper_slopes = (upper_edge_mel - spectrogram_bins_mel) / (
+        upper_edge_mel - center_mel)
+    mel_weights = np.maximum(0.0, np.minimum(lower_slopes, upper_slopes))
+    mel_weights = np.pad(mel_weights, [[bands_to_zero, 0], [0, 0]])
+    return mel_weights.astype(np.float32)
+
+
+def _dft_bases(win_length: int, fft_length: int) -> np.ndarray:
+    """Windowed real-DFT bases: [win_length, 2 * (fft_length//2 + 1)] with
+    cos bases in the first half and -sin bases in the second half, pre-scaled
+    by the periodic Hann window."""
+    bins = fft_length // 2 + 1
+    n = np.arange(fft_length, dtype=np.float64)[:, None]
+    k = np.arange(bins, dtype=np.float64)[None, :]
+    angle = 2.0 * np.pi * n * k / fft_length
+    cos_b = np.cos(angle)
+    sin_b = -np.sin(angle)
+    # tf.signal.stft zero-pads the windowed frame from win_length to
+    # fft_length; equivalently we truncate the basis rows to win_length.
+    window = hann_window(win_length).astype(np.float64)[:, None]
+    basis = np.concatenate([cos_b, sin_b], axis=1)[:win_length] * window
+    return basis.astype(np.float32)
+
+
+class MelFrontend:
+    """Stateless log-mel extractor.
+
+    Usage::
+
+        fe = MelFrontend(cfg.mel)
+        mel = fe(pcm)          # pcm [B, num_samples] in [-1, 1]
+        # mel: [B, num_frames, num_mel_bins], num_frames = 1 + (N - win)//hop
+    """
+
+    def __init__(self, mel_cfg, use_fft: bool = False):
+        self.cfg = mel_cfg
+        self.win_length = mel_cfg.win_length
+        self.hop_step = mel_cfg.hop_step
+        self.fft_length = mel_cfg.fft_length
+        self.num_bins = self.fft_length // 2 + 1
+        self.log_offset = mel_cfg.log_offset
+        self.use_fft = use_fft
+        self._basis = jnp.asarray(_dft_bases(self.win_length,
+                                             self.fft_length))
+        self._mel = jnp.asarray(linear_to_mel_weight_matrix(
+            mel_cfg.num_mel_bins, self.num_bins, mel_cfg.sample_rate,
+            mel_cfg.lower_edge_hertz, mel_cfg.upper_edge_hertz))
+        self._window = jnp.asarray(hann_window(self.win_length))
+
+    def num_frames(self, num_samples: int) -> int:
+        """tf.signal.stft frame count: only complete frames, no padding."""
+        return 1 + (num_samples - self.win_length) // self.hop_step
+
+    def frame(self, pcm: jax.Array) -> jax.Array:
+        """[..., N] -> [..., F, win_length] strided frames (gather)."""
+        num_samples = pcm.shape[-1]
+        nf = self.num_frames(num_samples)
+        idx = (np.arange(nf)[:, None] * self.hop_step
+               + np.arange(self.win_length)[None, :])
+        return pcm[..., idx]
+
+    def __call__(self, pcm: jax.Array) -> jax.Array:
+        frames = self.frame(jnp.asarray(pcm, dtype=jnp.float32))
+        if self.use_fft:
+            spec = jnp.abs(jnp.fft.rfft(frames * self._window,
+                                        n=self.fft_length, axis=-1))
+        else:
+            # HIGHEST precision: full-f32 MXU passes — the frontend feeds the
+            # coeff-fidelity (MAE < 1e-3) path, bf16 matmul noise is too big.
+            proj = jnp.einsum("...fw,wk->...fk", frames, self._basis,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+            re, im = jnp.split(proj, 2, axis=-1)
+            spec = jnp.sqrt(re * re + im * im)
+        mel = jnp.einsum("...fk,km->...fm", spec, self._mel,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jnp.log(mel + self.log_offset)
+
+    def pcm_length_for_frames(self, num_video_frames: int,
+                              frame_mfcc_scale: int) -> int:
+        """PCM window yielding exactly ``num_video_frames * scale`` mel
+        frames (ref: generator/generator.py:478)."""
+        return (self.hop_step * (num_video_frames * frame_mfcc_scale - 1)
+                + self.win_length)
