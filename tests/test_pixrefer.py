@@ -1,0 +1,135 @@
+"""PixReferNet architecture/range tests (pattern of test_vgnet.py:98-124:
+D decision in [0,1], generator output in [-1,1], alphas in [0,1]) plus GAN
+train-step behavior on the 8-device mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voicepuppet_tpu.config import Config
+from voicepuppet_tpu.models import pixrefer as px
+from voicepuppet_tpu.models import vgg as vgg_mod
+from voicepuppet_tpu.train.pixrefer_trainer import PixReferTrainer
+
+# Smallest canvas the 8-level U-Net supports (the 512-designed skip chain
+# needs S/256 >= 1 at the bottleneck); ngf/ndf scaled down for CPU speed.
+S = 256
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    base = Config()
+    return dataclasses.replace(
+        base, pixrefer=dataclasses.replace(base.pixrefer, ngf=8, ndf=8,
+                                           img_size=S, batch_size=8))
+
+
+@pytest.fixture(scope="module")
+def batch(cfg):
+    rng = np.random.RandomState(0)
+    return (rng.rand(8, S, S, 6).astype(np.float32),
+            rng.rand(8, S, S, 6).astype(np.float32),
+            rng.rand(8, S, S, 3).astype(np.float32),
+            (rng.rand(8, S, S, 3) > 0.5).astype(np.float32))
+
+
+def test_generator_output_ranges(cfg, batch):
+    inputs, fg, targets, masks = batch
+    model = px.PixReferNet(cfg.pixrefer)
+    variables = model.init(jax.random.PRNGKey(0), px.preprocess(inputs),
+                           px.preprocess(fg), px.preprocess(targets))
+    outputs, alphas, outputs_fg = model.apply(
+        variables, px.preprocess(inputs), px.preprocess(fg),
+        px.preprocess(targets))
+    assert outputs.shape == (8, S, S, 3)
+    assert alphas.shape == (8, S, S, 3)
+    a = np.asarray(alphas)
+    assert a.min() >= 0.0 and a.max() <= 1.0
+    o = np.asarray(outputs)
+    assert o.min() >= -2.0 and o.max() <= 2.0  # composite of [-1,1] terms
+
+
+def test_discriminator_patch_decision(cfg, batch):
+    inputs, fg, _, _ = batch
+    d = px.Discriminator(ndf=8)
+    variables = d.init(jax.random.PRNGKey(1), inputs[..., :3], fg[..., :3])
+    out = d.apply(variables, inputs[..., :3], fg[..., :3])
+    # PatchGAN score map: spatial, 1 channel, in [0,1] (sigmoid)
+    assert out.ndim == 4 and out.shape[-1] == 1
+    assert out.shape[1] < S and out.shape[1] > 1
+    o = np.asarray(out)
+    assert o.min() >= 0.0 and o.max() <= 1.0
+
+
+def test_composite_math():
+    rng = np.random.RandomState(2)
+    gen_out = jnp.asarray(rng.uniform(-1, 1, (1, 4, 4, 4)), jnp.float32)
+    targets = jnp.asarray(rng.uniform(-1, 1, (1, 4, 4, 3)), jnp.float32)
+    outputs, alpha, outputs_fg = px.composite(gen_out, targets)
+    rgb = np.asarray(gen_out[..., :3])
+    a = (np.asarray(gen_out[..., 3:]) + 1) / 2
+    np.testing.assert_allclose(np.asarray(outputs),
+                               rgb * a + np.asarray(targets) * (1 - a),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outputs_fg), rgb * a + a - 1,
+                               atol=1e-6)
+    # alpha=0 -> pure background; alpha=1 -> pure rgb
+    g0 = gen_out.at[..., 3].set(-1.0)
+    out0, _, fg0 = px.composite(g0, targets)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(targets),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fg0), -1.0, atol=1e-6)
+
+
+def test_gan_losses_reference_form():
+    pr = jnp.full((2, 4, 4, 1), 0.9)
+    pf = jnp.full((2, 4, 4, 1), 0.1)
+    d = float(px.discriminator_loss(pr, pf))
+    want = -(np.log(0.9 + 1e-12) * 2 + np.log(0.9 + 1e-12))
+    np.testing.assert_allclose(d, want, rtol=1e-5)
+    total, gan, l1 = px.generator_loss(
+        pf, jnp.zeros((2, 4, 4, 3)), jnp.ones((2, 4, 4, 3)) * 0.5,
+        jnp.ones((2, 4, 4, 3)) * 0.25, jnp.ones((2, 4, 4, 3)) * 0.75,
+        jnp.asarray(0.125), gan_weight=1.0, l1_weight=500.0)
+    np.testing.assert_allclose(float(gan), -np.log(0.1 + 1e-12), rtol=1e-5)
+    np.testing.assert_allclose(float(l1), 0.5 + 0.5 + 0.125, rtol=1e-5)
+    np.testing.assert_allclose(float(total), float(gan) + 500 * float(l1),
+                               rtol=1e-5)
+
+
+def test_vgg_perceptual_zero_for_identical():
+    rng = jax.random.PRNGKey(3)
+    _, params = vgg_mod.init_vgg(rng, image_size=32)
+    x = jax.random.uniform(rng, (1, 32, 32, 3))
+    assert float(vgg_mod.perceptual_loss(params, x, x)) == 0.0
+    y = x + 0.1
+    assert float(vgg_mod.perceptual_loss(params, x, y)) > 0.0
+
+
+def test_gan_train_step_dp(cfg, batch):
+    trainer = PixReferTrainer(cfg, image_size=S)
+    state = trainer.init_state()
+    key = jax.random.PRNGKey(0)
+    metrics_hist = []
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        state, metrics = trainer.train_step(state, batch, sub)
+        metrics_hist.append({k: float(v) for k, v in metrics.items()})
+    assert int(state.step) == 6  # global_step +2 per iteration
+    for m in metrics_hist:
+        assert np.isfinite(list(m.values())).all()
+    # D should quickly learn to separate real/fake on a fixed batch
+    assert metrics_hist[-1]["discrim_loss"] < metrics_hist[0]["discrim_loss"]
+
+
+def test_infer_deprocessed_range(cfg, batch):
+    trainer = PixReferTrainer(cfg, image_size=S)
+    state = trainer.init_state()
+    inputs, fg, targets, _ = batch
+    outputs, outputs_fg = trainer.infer(state, inputs, fg, targets)
+    o = np.asarray(outputs)
+    assert o.shape == (8, S, S, 3)
+    assert o.min() >= -0.51 and o.max() <= 1.51  # deprocess of [-2,1]-ish

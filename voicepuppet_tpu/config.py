@@ -65,6 +65,7 @@ class BFMNetConfig:
     bfm_coeff_size: int = 64
     batch_size: int = 8          # ref: generator/generator.py:395
     mouth_weight: float = 10.0   # ref: bfmnet.py:137
+    backbone_width_mult: float = 1.0  # test-scale knob; 1.0 = reference
     training: TrainingConfig = field(default_factory=lambda: TrainingConfig(
         learning_rate=1e-4, decay_steps=10000, decay_rate=1.0))
 

@@ -1,0 +1,293 @@
+"""Shared model building blocks with TF1-reference semantics, in flax.
+
+Re-creates the reference's layer vocabulary so architectures keep identical
+shapes/receptive fields:
+
+  * MobileNetV2-style inverted-residual blocks with expansion 6 and a
+    [7, 3] depthwise kernel (ref: voicepuppet/bfmnet/tinynet.py:7-151) —
+    relu6 activations for the bfmnet variant, elu for the atvgnet variant
+    (voicepuppet/atvgnet/tinynet.py:9).
+  * ``MfccNet``: the audio backbone treating the mel spectrogram as an image
+    [B, T*5, 80, 1], downsampling frequency x64 while preserving time
+    (tinynet.py:154-215).
+  * ``ThinNet``: the image variant (tinynet.py:218-275 widths).
+  * ``TFGRUCell`` + :func:`masked_gru`: a GRU matching tf.contrib.rnn.GRUCell
+    gate math (reset applied to ``h`` *before* the candidate matmul, gate
+    bias init 1.0) and ``tf.nn.dynamic_rnn``'s sequence_length masking
+    (outputs zeroed and state frozen past each row's length; ref:
+    bfmnet.py:52-63), driven by ``lax.scan``.
+
+BatchNorm follows tf.contrib.layers.batch_norm defaults (decay .999,
+epsilon 1e-3, center only, no scale; tinynet.py:25).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def xavier_uniform():
+    return nn.initializers.xavier_uniform()
+
+
+class TFBatchNorm(nn.Module):
+    """tf.contrib.layers.batch_norm defaults (decay .999, eps 1e-3,
+    center=True, scale=False).
+
+    ``axis_name`` enables cross-replica ("sync") batch norm: moments are
+    pmean-reduced over the named mesh axis inside shard_map, so data-parallel
+    training is bit-for-bit the reference's single-device full-batch
+    semantics instead of per-shard statistics."""
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.999
+    epsilon: float = 1e-3
+    use_scale: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param("use_running_average",
+                             self.use_running_average, use_running_average)
+        return nn.BatchNorm(use_running_average=ura,
+                            momentum=self.momentum, epsilon=self.epsilon,
+                            use_bias=True, use_scale=self.use_scale,
+                            axis_name=self.axis_name if not ura else None)(x)
+
+
+class ConvBN(nn.Module):
+    """conv2d -> BN -> activation (ref: tinynet.py:12-27; the stem conv uses
+    plain relu even though blocks use relu6/elu)."""
+    features: int
+    kernel: Tuple[int, int]
+    stride: Tuple[int, int]
+    activation: Callable = nn.relu
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(self.features, self.kernel, strides=self.stride,
+                    padding="SAME", use_bias=False,
+                    kernel_init=xavier_uniform())(x)
+        x = TFBatchNorm(axis_name=self.bn_axis)(
+            x, use_running_average=not train)
+        return self.activation(x)
+
+
+class InvertedResidual(nn.Module):
+    """MobileNetV2 inverted residual (ref: tinynet.py:120-142):
+    1x1 expansion (+BN+act) -> depthwise [7,3] (+BN+act) -> 1x1 projection
+    (+BN); residual added at stride 1 with a 1x1+BN shortcut when channel
+    counts differ."""
+    features: int
+    stride: Tuple[int, int] = (1, 1)
+    expansion: int = 6
+    dw_kernel: Tuple[int, int] = (7, 3)
+    activation: Callable = nn.relu6
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        inputs = x
+        in_ch = x.shape[-1]
+        # expansion_conv2d (tinynet.py:46-65)
+        x = nn.Conv(in_ch * self.expansion, (1, 1), strides=(1, 1),
+                    padding="SAME", use_bias=False,
+                    kernel_init=xavier_uniform())(x)
+        x = TFBatchNorm(axis_name=self.bn_axis)(
+            x, use_running_average=not train)
+        x = self.activation(x)
+        # depthwise_conv2d (tinynet.py:84-103)
+        ch = x.shape[-1]
+        x = nn.Conv(ch, self.dw_kernel, strides=self.stride, padding="SAME",
+                    feature_group_count=ch, use_bias=False,
+                    kernel_init=xavier_uniform())(x)
+        x = TFBatchNorm(axis_name=self.bn_axis)(
+            x, use_running_average=not train)
+        x = self.activation(x)
+        # projection_conv2d (tinynet.py:67-82), no activation
+        x = nn.Conv(self.features, (1, 1), strides=(1, 1), padding="SAME",
+                    use_bias=False, kernel_init=xavier_uniform())(x)
+        x = TFBatchNorm(axis_name=self.bn_axis)(
+            x, use_running_average=not train)
+
+        if self.stride == (1, 1):
+            if x.shape[-1] != inputs.shape[-1]:
+                inputs = nn.Conv(x.shape[-1], (1, 1), strides=(1, 1),
+                                 padding="SAME", use_bias=False,
+                                 kernel_init=xavier_uniform())(inputs)
+                inputs = TFBatchNorm(axis_name=self.bn_axis)(
+                    inputs, use_running_average=not train)
+            x = x + inputs
+        return x
+
+
+def max_pool_same(x, window: Tuple[int, int], stride: Tuple[int, int]):
+    """tf.layers.max_pooling2d(padding='same')."""
+    return nn.max_pool(x, window, strides=stride, padding="SAME")
+
+
+class MfccNet(nn.Module):
+    """Audio backbone over mel "images" (ref: tinynet.py:154-215).
+
+    Input [B, T*5, 80, C]: frequency is downsampled x64 (stem conv stride
+    [1,2] + four maxpools [1,2]); time is preserved.  Output channels =
+    ``output_channels`` (256 for BFMNet; bfmnet.py:147)."""
+    output_channels: int = 256
+    activation: Callable = nn.relu6
+    width_mult: float = 1.0
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        act = self.activation
+        w = lambda f: max(8, int(f * self.width_mult))
+        ir = lambda f, e=6: InvertedResidual(w(f), (1, 1), e,
+                                             activation=act,
+                                             bn_axis=self.bn_axis)
+        x = ConvBN(w(32), (9, 5), (1, 2),
+                   bn_axis=self.bn_axis)(x, train)              # block0_0
+        x = ir(64, 1)(x, train)                                  # block1_0
+        x = ir(64)(x, train)                                     # block2_0
+        x = max_pool_same(x, (2, 2), (1, 2))
+        x = ir(64)(x, train)                                     # block2_1
+        x = ir(128)(x, train)                                    # block3_0
+        x = max_pool_same(x, (2, 2), (1, 2))
+        x = ir(128)(x, train)                                    # block3_1
+        x = ir(128)(x, train)                                    # block3_2
+        x = ir(192)(x, train)                                    # block4_0
+        x = max_pool_same(x, (2, 2), (1, 2))
+        x = ir(192)(x, train)                                    # block4_1
+        x = ir(192)(x, train)                                    # block4_2
+        x = ir(192)(x, train)                                    # block4_3
+        x = ir(256)(x, train)                                    # block5_0
+        x = ir(256)(x, train)                                    # block5_1
+        x = ir(256)(x, train)                                    # block5_2
+        x = ir(256)(x, train)                                    # block6_0
+        x = max_pool_same(x, (2, 2), (1, 2))
+        x = ir(256)(x, train)                                    # block6_1
+        x = ir(256)(x, train)                                    # block6_2
+        x = ir(256)(x, train)                                    # block7_0
+        x = ConvBN(self.output_channels, (1, 1), (1, 1),
+                   bn_axis=self.bn_axis)(x, train)               # block8_0
+        return x
+
+
+class ThinNet(nn.Module):
+    """Image backbone with true-MobileNetV2 widths and spatial stride-2 stem
+    (ref: voicepuppet/atvgnet/tinynet.py:218-275; elu activations per
+    atvgnet/tinynet.py:9)."""
+    output_channels: int = 256
+    activation: Callable = nn.elu
+    width_mult: float = 1.0
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        act = self.activation
+        w = lambda f: max(8, int(f * self.width_mult))
+        ir = lambda f, e=6: InvertedResidual(w(f), (1, 1), e,
+                                             activation=act,
+                                             bn_axis=self.bn_axis)
+        x = ConvBN(w(32), (3, 3), (2, 2),
+                   bn_axis=self.bn_axis)(x, train)
+        x = ir(16, 1)(x, train)
+        for f, reps in ((24, 2), (32, 3), (64, 4), (96, 3), (160, 3)):
+            for _ in range(reps):
+                x = ir(f)(x, train)
+        x = ir(320)(x, train)
+        x = ConvBN(self.output_channels, (1, 1), (1, 1),
+                   bn_axis=self.bn_axis)(x, train)
+        return x
+
+
+class TFGRUCell(nn.Module):
+    """GRU with tf.contrib.rnn.GRUCell math (ref: bfmnet.py:53):
+
+      r, u = sigmoid([x, h] @ W_g + 1.0)
+      c    = tanh([x, r*h] @ W_c)
+      h'   = u*h + (1-u)*c
+
+    with orthogonal kernel init (bfmnet.py:53)."""
+    num_units: int
+
+    @nn.compact
+    def __call__(self, h, x):
+        concat = jnp.concatenate([x, h], axis=-1)
+        gates = nn.Dense(2 * self.num_units,
+                         kernel_init=nn.initializers.orthogonal(),
+                         bias_init=nn.initializers.constant(1.0))(concat)
+        r, u = jnp.split(jax.nn.sigmoid(gates), 2, axis=-1)
+        cand_in = jnp.concatenate([x, r * h], axis=-1)
+        c = jnp.tanh(nn.Dense(self.num_units,
+                              kernel_init=nn.initializers.orthogonal())(
+                                  cand_in))
+        new_h = u * h + (1 - u) * c
+        return new_h, new_h
+
+
+class masked_gru(nn.Module):
+    """tf.nn.dynamic_rnn(sequence_length=...) semantics over a TFGRUCell
+    stack (ref: bfmnet.py:44-69): scan over time; past each row's length the
+    output is zero and the carried state freezes.  Output dropout mirrors
+    tf.contrib.rnn.DropoutWrapper(output_keep_prob=1-drop_rate)."""
+    num_units: int
+    num_layers: int = 1
+    drop_rate: float = 0.25
+    axis_name: Optional[str] = None  # set when running inside shard_map
+
+    @nn.compact
+    def __call__(self, inputs, seq_len, train: bool = True):
+        b, t, _ = inputs.shape
+        x = inputs
+        for layer in range(self.num_layers):
+            cell = nn.scan(TFGRUCell, variable_broadcast="params",
+                           split_rngs={"params": False},
+                           in_axes=1, out_axes=1)(self.num_units)
+            h0 = jnp.zeros((b, self.num_units), inputs.dtype)
+            if self.axis_name is not None:
+                # mark the initial carry as device-varying so the scan's
+                # carry types agree under shard_map VMA checking
+                h0 = jax.lax.pvary(h0, self.axis_name)
+            _, outputs = cell(h0, x)
+            # dynamic_rnn masking: zero outputs past seq_len
+            mask = (jnp.arange(t)[None, :] < seq_len[:, None])
+            outputs = outputs * mask[..., None]
+            if train and self.drop_rate > 0:
+                outputs = nn.Dropout(rate=self.drop_rate,
+                                     deterministic=False)(outputs)
+            x = outputs
+        return x
+
+
+def leaky_relu(x):
+    """tf.nn.leaky_relu default alpha=0.2."""
+    return jax.nn.leaky_relu(x, negative_slope=0.2)
+
+
+def l2_regularization(params, scale: float = 1e-4,
+                      key_filter: str = "kernel") -> jax.Array:
+    """tf.contrib.layers.l2_regularizer semantics: scale * sum(w**2)/2 over
+    conv/depthwise kernels (ref: tinynet.py:10 — only the backbone convs
+    carry the regularizer)."""
+    from collections.abc import Mapping
+    leaves = []
+
+    def visit(tree, path):
+        if isinstance(tree, Mapping):
+            for k, v in tree.items():
+                visit(v, path + (k,))
+        else:
+            if path and path[-1] == key_filter and getattr(tree, "ndim",
+                                                           0) >= 4:
+                leaves.append(tree)
+
+    visit(params, ())
+    if not leaves:
+        return jnp.asarray(0.0, jnp.float32)
+    return scale * 0.5 * sum(jnp.sum(jnp.square(w)) for w in leaves)

@@ -1,0 +1,90 @@
+"""VGG-16 perceptual-feature trunk.
+
+Re-creation of the slim VGG-16 truncated at conv4 used for PixReferNet's
+perceptual loss (voicepuppet/pixrefer/vgg_simple.py:96-163): conv stacks
+(2,2,3,3) of 3x3 convs with 2x2 max-pools, returning the conv1_2 / conv2_2 /
+conv3_3 / conv4_3 endpoints.  The reference restores ImageNet weights from
+``vgg_16.ckpt`` during graph build (pixrefer.py:318-328); here weights are a
+pytree that can be loaded from a converted ``.npz`` (``load_weights``) —
+when the asset is absent the trunk runs with fixed random features, which
+still regularizes structure (documented divergence; the external ckpt is an
+asset, not code).
+
+The trunk is frozen (no gradient to VGG params — the reference excludes
+vgg vars from both optimizers' var_lists, pixrefer.py:397-406) via
+``jax.lax.stop_gradient`` on the parameters at call time.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class VGG16Features(nn.Module):
+    """Returns (conv1_2, conv2_2, conv3_3, conv4_3) feature maps."""
+
+    @nn.compact
+    def __call__(self, x):
+        ends = []
+
+        def stack(x, reps, ch, name):
+            for i in range(reps):
+                x = nn.Conv(ch, (3, 3), padding="SAME",
+                            name=f"{name}_{i + 1}")(x)
+                x = jax.nn.relu(x)
+            return x
+
+        x = stack(x, 2, 64, "conv1")
+        ends.append(x)                                   # conv1_2
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = stack(x, 2, 128, "conv2")
+        ends.append(x)                                   # conv2_2
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = stack(x, 3, 256, "conv3")
+        ends.append(x)                                   # conv3_3
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = stack(x, 3, 512, "conv4")
+        ends.append(x)                                   # conv4_3
+        return tuple(ends)
+
+
+def init_vgg(rng, image_size: int = 64):
+    model = VGG16Features()
+    variables = model.init(rng, jnp.zeros((1, image_size, image_size, 3)))
+    return model, variables["params"]
+
+
+def load_weights(npz_path: str, params):
+    """Overlay converted slim-ckpt weights (saved as ``conv{i}_{j}_kernel``
+    / ``conv{i}_{j}_bias`` arrays) onto the init pytree."""
+    blob = np.load(npz_path)
+    out = jax.tree_util.tree_map(lambda x: x, params)
+    for name in list(out.keys()):
+        k = f"{name}_kernel"
+        b = f"{name}_bias"
+        if k in blob:
+            out[name]["kernel"] = jnp.asarray(blob[k])
+        if b in blob:
+            out[name]["bias"] = jnp.asarray(blob[b])
+    return out
+
+
+def perceptual_loss(vgg_params, real_fg: jax.Array,
+                    fake_fg: jax.Array) -> jax.Array:
+    """conv3_3 L2 content loss (ref: pixrefer.py:318-328):
+    ``tf.nn.l2_loss(gen_f - img_f) / size(gen_f)`` = mean(diff²)/2.
+
+    The reference feeds ``concat([real, fake])`` through one VGG pass and
+    splits conv3_3; equivalent to two passes with shared frozen weights."""
+    params = jax.lax.stop_gradient(vgg_params)
+    model = VGG16Features()
+    both = jnp.concatenate([real_fg, fake_fg], axis=0)
+    _, _, f3, _ = model.apply({"params": params}, both)
+    real_f, fake_f = jnp.split(f3, 2, axis=0)
+    diff = fake_f - real_f
+    return jnp.sum(jnp.square(diff)) / (2.0 * diff.size)

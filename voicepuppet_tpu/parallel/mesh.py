@@ -1,0 +1,95 @@
+"""Device mesh + data-parallel execution layer.
+
+The reference has *no* distribution story — one process, one GPU, manual
+``CUDA_VISIBLE_DEVICES`` pinning per trainer (SURVEY.md §2.3;
+train_bfmnet.py:41).  This module is the TPU-native replacement: a
+``jax.sharding.Mesh`` over the slice with a ``data`` axis (and an optional
+``model`` axis for tensor sharding), and a ``shard_map``-based train-step
+wrapper where each device computes gradients on its batch shard and reduces
+them with ``lax.pmean`` over ICI.
+
+Design choices:
+  * explicit ``shard_map`` + ``psum``/``pmean`` rather than implicit GSPMD:
+    the collective schedule is visible and rides ICI by construction.
+  * parameters/optimizer state are replicated (the models are small — the
+    largest, PixReferNet, is ~56M params ≈ 220 MB fp32, far under one
+    v5e's HBM); batch is sharded on the leading axis.
+  * per-device RNG derived by folding in the data-axis index, so dropout /
+    GAN noise differs across shards.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              data_parallel: int = 0, model_parallel: int = 1,
+              data_axis: str = "data", model_axis: str = "model") -> Mesh:
+    """Build a [data, model] mesh.  ``data_parallel=0`` puts all remaining
+    devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data_parallel <= 0:
+        assert n % model_parallel == 0, (n, model_parallel)
+        data_parallel = n // model_parallel
+    use = data_parallel * model_parallel
+    grid = np.asarray(devices[:use]).reshape(data_parallel, model_parallel)
+    return Mesh(grid, (data_axis, model_axis))
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Device-put a host batch pytree sharded on its leading axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Device-put a pytree fully replicated over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
+def data_parallel_step(step_fn: Callable, mesh: Mesh,
+                       data_axis: str = "data",
+                       donate_state: bool = True) -> Callable:
+    """Wrap ``step_fn(state, batch, rng) -> (state, metrics)`` into a jitted
+    shard_map program: batch sharded over ``data_axis``, state replicated,
+    gradients reduced inside ``step_fn`` via :func:`pmean_gradients`.
+
+    ``step_fn`` runs *inside* the mapped region, so it must call
+    ``pmean_gradients(grads)`` (or ``lax.pmean(..., axis_name='data')``)
+    before applying updates — this is where the ICI all-reduce happens.
+    """
+
+    # check_vma=True is load-bearing: varying-manual-axes tracking is what
+    # makes autodiff of collectives (the sync-BN pmean, the gradient psum)
+    # transpose correctly — with it off, cross-shard cotangent sums through
+    # psum are silently dropped and DP gradients come out wrong.
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(data_axis), P()),
+        out_specs=(P(), P()),
+        check_vma=True)
+    def mapped(state, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+        return step_fn(state, batch, rng)
+
+    return jax.jit(mapped, donate_argnums=(0,) if donate_state else ())
+
+
+def pmean_gradients(grads: Any, data_axis: str = "data") -> Any:
+    """All-reduce gradients over the data axis (ICI psum/size)."""
+    return jax.lax.pmean(grads, axis_name=data_axis)
+
+
+def psum_metric(x: jax.Array, data_axis: str = "data") -> jax.Array:
+    return jax.lax.pmean(x, axis_name=data_axis)

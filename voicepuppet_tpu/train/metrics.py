@@ -1,0 +1,76 @@
+"""Training observability.
+
+The reference's telemetry is per-step stdout prints plus TensorBoard
+scalar/image summaries for the GAN trainers (SURVEY.md §5;
+train_bfmnet.py:124, train_pixrefer.py:101-131).  Here: a JSONL metrics
+stream (machine-readable, TensorBoard-free) + stdout mirroring + image
+dumps, and an optional jax.profiler trace hook (the reference has no
+profiler at all).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+class MetricsLogger:
+    def __init__(self, log_dir: str, name: str = "train",
+                 print_every: int = 1):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, f"{name}_metrics.jsonl")
+        self._f = open(self.path, "a")
+        self.print_every = print_every
+        self._t0 = time.time()
+
+    def log(self, step: int, **metrics):
+        rec = {"step": int(step), "wall_s": round(time.time() - self._t0, 3)}
+        for k, v in metrics.items():
+            rec[k] = float(np.asarray(v)) if not isinstance(v, str) else v
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self.print_every and step % self.print_every == 0:
+            parts = " ".join(f"{k}={rec[k]:.6g}" for k in metrics
+                             if not isinstance(metrics[k], str))
+            print(f"step {step}: {parts}", flush=True)
+
+    def log_image(self, step: int, name: str, image: np.ndarray):
+        """Dump an eval image (ref eval-grid cadence, train_bfmnet.py:138)."""
+        from PIL import Image
+        img_dir = os.path.join(os.path.dirname(self.path), "images")
+        os.makedirs(img_dir, exist_ok=True)
+        arr = np.asarray(image)
+        if arr.dtype != np.uint8:
+            arr = np.clip(arr * 255.0 if arr.max() <= 1.5 else arr, 0,
+                          255).astype(np.uint8)
+        Image.fromarray(arr).save(
+            os.path.join(img_dir, f"{name}_{step}.jpg"))
+
+    def close(self):
+        self._f.close()
+
+
+class ProfilerHook:
+    """Capture an XLA trace for steps [start, start+count) — absent from the
+    reference entirely."""
+
+    def __init__(self, log_dir: str, start_step: int = 0, num_steps: int = 0):
+        self.log_dir = log_dir
+        self.start = start_step
+        self.stop = start_step + num_steps
+        self._active = False
+
+    def step(self, step: int):
+        import jax
+        if self.stop <= self.start:
+            return
+        if step == self.start and not self._active:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif step == self.stop and self._active:
+            jax.profiler.stop_trace()
+            self._active = False

@@ -1,0 +1,212 @@
+"""PixReferNet GAN trainer — train_pixrefer.py equivalent, data-parallel.
+
+Reference semantics mirrored (voicepuppet/pixrefer/pixrefer.py:356-412,
+train_pixrefer.py:112-153):
+  * one forward per step feeds BOTH optimizers; D's gradients treat the
+    generator output as constant (var_list restriction -> stop_gradient)
+  * D updates FIRST, and G's gradients are computed against the *updated*
+    D (the reference nests G's backward in
+    ``control_dependencies([discrim_train])``, so the gen backward reads
+    post-update D variables)
+  * global_step advances by 2 per iteration (both apply_gradients share it)
+  * Adam β1=0.5, lr 3e-4 with staircase decay .999/1000; no grad clip
+  * masks stay in [0,1]; images preprocessed to [-1,1]
+
+TPU design: the whole D-step + G-step is ONE jitted shard_map program over
+the ``data`` mesh axis — batch sharded, params replicated, both losses
+pmean'd over ICI before differentiation (AD inserts the gradient psum).
+The VGG trunk rides along as a frozen replicated pytree argument.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from voicepuppet_tpu.config import Config
+from voicepuppet_tpu.models import pixrefer as px
+from voicepuppet_tpu.models import vgg as vgg_mod
+from voicepuppet_tpu.parallel.mesh import make_mesh, shard_batch
+from voicepuppet_tpu.train.optim import gan_optimizer
+from voicepuppet_tpu.train.state import GANTrainState
+
+
+class PixReferTrainer:
+    def __init__(self, cfg: Config, mesh=None,
+                 vgg_weights_path: Optional[str] = None,
+                 image_size: Optional[int] = None):
+        self.cfg = cfg
+        self.img_size = image_size or cfg.pixrefer.img_size
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.gen = px.PixReferNet(cfg.pixrefer, axis_name="data")
+        self.disc = px.Discriminator(cfg.pixrefer.ndf, axis_name="data")
+        self.gen_eval = px.PixReferNet(cfg.pixrefer, axis_name=None)
+        self.g_tx = gan_optimizer(cfg.pixrefer.training)
+        self.d_tx = gan_optimizer(cfg.pixrefer.training)
+
+        _, vgg_params = vgg_mod.init_vgg(jax.random.PRNGKey(17))
+        if vgg_weights_path is not None:
+            vgg_params = vgg_mod.load_weights(vgg_weights_path, vgg_params)
+        self.vgg_params = vgg_params
+
+        self._train_step = self._build_step()
+        self._infer_step = None
+
+    def init_state(self, seed: int = 0) -> GANTrainState:
+        s = self.img_size
+        b = 1
+        rng = jax.random.PRNGKey(seed)
+        g_vars = self.gen_eval.init(rng, jnp.zeros((b, s, s, 6)),
+                                    jnp.zeros((b, s, s, 6)),
+                                    jnp.zeros((b, s, s, 3)))
+        d_vars = px.Discriminator(self.cfg.pixrefer.ndf).init(
+            jax.random.fold_in(rng, 1), jnp.zeros((b, s, s, 3)),
+            jnp.zeros((b, s, s, 3)))
+        return GANTrainState.create(g_vars["params"], d_vars["params"],
+                                    batch_stats={}, g_tx=self.g_tx,
+                                    d_tx=self.d_tx)
+
+    # ---- the jitted DP GAN step ----
+    def _build_step(self):
+        cfg = self.cfg.pixrefer
+
+        def step(state: GANTrainState, batch, vgg_params, rng):
+            inputs, fg_inputs, targets, masks = batch
+            inputs_p = px.preprocess(inputs)
+            fg_p = px.preprocess(fg_inputs)
+            targets_p = px.preprocess(targets)
+
+            # G forward once for the D step (constant w.r.t. D)
+            _, _, fake_fg0 = self.gen.apply({"params": state.g_params},
+                                            inputs_p, fg_p, targets_p)
+            fake_fg0 = jax.lax.stop_gradient(fake_fg0)
+
+            def d_loss_fn(d_params):
+                pr1 = self.disc.apply({"params": d_params},
+                                      inputs_p[..., 3:], fg_p[..., 3:])
+                pr2 = self.disc.apply({"params": d_params},
+                                      inputs_p[..., :3], fg_p[..., :3])
+                predict_real = (pr1 + pr2) / 2.0
+                predict_fake = self.disc.apply({"params": d_params},
+                                               inputs_p[..., 3:], fake_fg0)
+                loss = px.discriminator_loss(predict_real, predict_fake)
+                return jax.lax.pmean(loss, "data")
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+            d_updates, d_opt_state = state.d_tx.update(
+                d_grads, state.d_opt_state, state.d_params)
+            import optax
+            new_d_params = optax.apply_updates(state.d_params, d_updates)
+
+            # G step against the UPDATED discriminator (reference ordering)
+            def g_loss_fn(g_params):
+                outputs, alphas, outputs_fg = self.gen.apply(
+                    {"params": g_params}, inputs_p, fg_p, targets_p)
+                predict_fake = self.disc.apply({"params": new_d_params},
+                                               inputs_p[..., 3:],
+                                               outputs_fg)
+                perc = vgg_mod.perceptual_loss(vgg_params, fg_p[..., 3:],
+                                               outputs_fg)
+                total, gan, l1 = px.generator_loss(
+                    predict_fake, targets_p, outputs, alphas, masks, perc,
+                    cfg.gan_weight, cfg.l1_weight)
+                return jax.lax.pmean(total, "data"), (gan, l1, perc)
+
+            (g_loss, (gan_t, l1_t, perc_t)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.g_params)
+            g_updates, g_opt_state = state.g_tx.update(
+                g_grads, state.g_opt_state, state.g_params)
+            import optax as _optax
+            new_g_params = _optax.apply_updates(state.g_params, g_updates)
+
+            state = state.replace(step=state.step + 2,
+                                  g_params=new_g_params,
+                                  d_params=new_d_params,
+                                  g_opt_state=g_opt_state,
+                                  d_opt_state=d_opt_state)
+            metrics = {"discrim_loss": d_loss, "gen_loss": g_loss,
+                       "gen_loss_GAN": jax.lax.pmean(gan_t, "data"),
+                       "gen_loss_L1": jax.lax.pmean(l1_t, "data"),
+                       "perceptual": jax.lax.pmean(perc_t, "data")}
+            return state, metrics
+
+        mapped = jax.shard_map(
+            step, mesh=self.mesh,
+            in_specs=(P(), P("data"), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=True)
+        return jax.jit(mapped, donate_argnums=(0,))
+
+    def train_step(self, state: GANTrainState, host_batch, rng):
+        batch = shard_batch(host_batch, self.mesh)
+        return self._train_step(state, batch, self.vgg_params, rng)
+
+    # ---- inference (ref: pixrefer.py:414-438) ----
+    def infer(self, state: GANTrainState, inputs, fg_inputs, targets):
+        """[0,1] images in; returns (outputs, outputs_fg) in [0,1]."""
+        if self._infer_step is None:
+            @jax.jit
+            def run(g_params, inputs, fg_inputs, targets):
+                outputs, alphas, outputs_fg = self.gen_eval.apply(
+                    {"params": g_params}, px.preprocess(inputs),
+                    px.preprocess(fg_inputs), px.preprocess(targets))
+                # ref: infer deprocesses Outputs and Outputs_FG+α-1
+                return (px.deprocess(outputs),
+                        px.deprocess(outputs_fg + alphas - 1.0))
+            self._infer_step = run
+        return self._infer_step(state.g_params, inputs, fg_inputs, targets)
+
+    # ---- loop (ref: train_pixrefer.py:134-153) ----
+    def fit(self, state, batches: Iterator, num_steps: int, logger=None,
+            ckpt=None, seed: int = 0):
+        rng = jax.random.PRNGKey(seed)
+        for _ in range(num_steps):
+            rng, sub = jax.random.split(rng)
+            state, metrics = self.train_step(state, next(batches), sub)
+            step = int(state.step)
+            if logger is not None:
+                logger.log(step, **metrics)
+            if ckpt is not None:
+                ckpt.maybe_save(step, state)
+        return state
+
+
+def main(argv=None):
+    import argparse
+    import os
+    from voicepuppet_tpu.config import load_config
+    from voicepuppet_tpu.data.generators import (FileSource,
+                                                 PixReferBatcher)
+    from voicepuppet_tpu.train.checkpoint import CheckpointManager
+    from voicepuppet_tpu.train.metrics import MetricsLogger
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_path", required=True)
+    p.add_argument("--ckpt_dir", default="ckpt_pixrefer")
+    p.add_argument("--log_dir", default="log")
+    p.add_argument("--steps", type=int, default=None)
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.config_path)
+    vgg_path = os.path.join(cfg.model_dir, "vgg16_weights.npz")
+    trainer = PixReferTrainer(
+        cfg, vgg_weights_path=vgg_path if os.path.exists(vgg_path) else None)
+    state = trainer.init_state()
+    tcfg = cfg.pixrefer.training
+    ckpt = CheckpointManager(args.ckpt_dir, tcfg.max_to_keep,
+                             tcfg.save_interval)
+    state = ckpt.restore(state)
+    logger = MetricsLogger(args.log_dir, "pixrefer")
+    src = FileSource(cfg.dataset.train_dataset_path, cfg, load_images=True)
+    batcher = PixReferBatcher(cfg, src)
+    steps = args.steps if args.steps is not None else tcfg.epochs
+    trainer.fit(state, iter(batcher), steps, logger, ckpt)
+
+
+if __name__ == "__main__":
+    main()
