@@ -1,0 +1,63 @@
+"""End-to-end synthesis benchmark on the real TPU chip.
+
+Measures the full audio->video frame path (log-mel -> BFMNet -> coeff
+splice -> 3DMM decode -> z-buffer raster @224² -> resize/paste -> PixRefer
+G @512² -> composite) in frames/sec on ONE chip, at the reference's true
+workload scale: a ~35.7k-vertex / ~70k-triangle face mesh (BFM_model_front
+dimensions, utils/bfm_load_data.py:69-71) and 512×512 output frames.
+
+Baseline: the v5e-8 target is ≥625 frames/s (BASELINE.md), i.e. 78.125
+frames/s per chip — ``vs_baseline`` is measured frames/s divided by that
+per-chip share.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    from voicepuppet_tpu.config import Config
+    from voicepuppet_tpu.face3d import bfm as bfm_mod
+    from voicepuppet_tpu.pipeline.synthesize import (SynthesisAssets,
+                                                     constant_background)
+
+    cfg = Config()
+    # full-scale mesh: 189² = 35721 vertices ≈ the real BFM's 35709
+    face_model = bfm_mod.synthetic_bfm(num_theta=189, num_phi=189, seed=0)
+    synth, identity = SynthesisAssets.demo(cfg, face_model=face_model)
+
+    seconds = 8.0
+    sr = cfg.mel.sample_rate
+    pcm = (0.3 * np.sin(2 * np.pi * 220.0 * np.arange(int(seconds * sr))
+                        / sr)).astype(np.float32)
+    s = cfg.pixrefer.img_size
+    rng = np.random.RandomState(0)
+    panel = rng.rand(s, 3 * s, 3).astype(np.float32)
+
+    def run():
+        bg = constant_background(np.zeros((s, s, 3), np.float32))
+        return synth.synthesize(panel, pcm, identity, backgrounds=bg)
+
+    frames = run()          # warmup + compile
+    t0 = time.time()
+    frames = run()          # steady state
+    elapsed = time.time() - t0
+    fps = frames.shape[0] / elapsed
+
+    target_per_chip = 625.0 / 8.0
+    print(json.dumps({
+        "metric": "e2e_synthesis_frames_per_sec_per_chip_512px",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / target_per_chip, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""End-to-end synthesis pipeline tests on synthetic assets (scaled down
+for CPU): the full audio+image -> frames contract of infer_bfmvid.py."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from voicepuppet_tpu.config import Config
+from voicepuppet_tpu.pipeline import align
+from voicepuppet_tpu.pipeline.synthesize import (SynthesisAssets,
+                                                 Synthesizer,
+                                                 splice_coeff_sequence,
+                                                 synthetic_identity,
+                                                 _paste_geometry)
+
+
+S = 256
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    base = Config()
+    return dataclasses.replace(
+        base,
+        bfmnet=dataclasses.replace(base.bfmnet, backbone_width_mult=0.25,
+                                   thinresnet_output_channels=64,
+                                   encode_embedding_size=64,
+                                   rnn_hidden_size=64),
+        pixrefer=dataclasses.replace(base.pixrefer, ngf=8, ndf=8,
+                                     img_size=S))
+
+
+@pytest.fixture(scope="module")
+def demo(cfg):
+    from voicepuppet_tpu.face3d import bfm as bfm_mod
+    fmodel = bfm_mod.synthetic_bfm(num_theta=16, num_phi=16, seed=1)
+    return SynthesisAssets.demo(cfg, face_model=fmodel)
+
+
+def test_head_sway_sequence():
+    ang = align.head_sway_angles(30)
+    assert ang.shape == (30, 3)
+    # yaw bounces inside ±(0.03 + one step)
+    assert np.abs(ang[:, 1]).max() <= 0.035 + 1e-6
+    assert not np.all(np.diff(ang[:, 1]) > 0)  # direction flipped
+
+
+def test_splice_coeff_sequence():
+    idc = np.arange(257, dtype=np.float32)[None]
+    exp = np.zeros((1, 4, 64), np.float32) + 0.5
+    out = np.asarray(splice_coeff_sequence(idc, exp))
+    assert out.shape == (4, 257)
+    np.testing.assert_array_equal(out[0, :80], idc[0, :80])
+    np.testing.assert_array_equal(out[0, 80:144], 0.5)
+    np.testing.assert_array_equal(out[0, 144:], idc[0, 144:])
+
+
+def test_paste_geometry_clips():
+    (ty0, ty1, tx0, tx1), (sy0, sy1, sx0, sx1) = _paste_geometry(
+        out_hw=100, center_x=10, center_y=10, tx=0, ty=0, img_size=256)
+    assert ty0 == 0 and tx0 == 0
+    assert (ty1 - ty0) == (sy1 - sy0)
+    assert sy0 == 40  # top 40 rows of the face fall off the canvas
+
+
+def test_pos_similarity_recovers_transform():
+    rng = np.random.RandomState(0)
+    x3d = rng.randn(3, 5)
+    s_true, t_true = 2.5, np.array([[10.0], [20.0]])
+    xp = s_true * x3d[:2] + t_true
+    t, s = align.pos_similarity(xp, x3d)
+    np.testing.assert_allclose(s, s_true, rtol=1e-6)
+    np.testing.assert_allclose(t, t_true, atol=1e-6)
+
+
+def test_full_synthesis_contract(cfg, demo, tmp_path):
+    synth, identity = demo
+    rng = np.random.RandomState(0)
+    # 3-panel image: target | render | alpha
+    panel = rng.rand(S, 3 * S, 3).astype(np.float32)
+    # ~0.5 s of audio -> T ≈ 13 frames
+    pcm = (0.3 * np.sin(2 * np.pi * 440 *
+                        np.arange(8000) / 16000)).astype(np.float32)
+    frames = synth.synthesize(panel, pcm, identity,
+                              out_dir=str(tmp_path / "out"))
+    t = int(1 + 8000 / cfg.frame_wav_scale)
+    assert frames.shape == (t, S, S, 3)
+    assert frames.dtype == np.uint8
+    # PNG frames written
+    assert os.path.exists(tmp_path / "out" / "0.png")
+    assert os.path.exists(tmp_path / "out" / f"{t - 1}.png")
+    # frames differ over time (head sway + audio drive the render)
+    assert frames.std(axis=0).max() > 0
+
+
+def test_frame_chunking_pads_tail(cfg, demo):
+    synth, identity = demo
+    coeff = np.asarray(
+        np.random.RandomState(1).randn(5, 257), np.float32) * 0.1
+    face3d_ref = np.zeros((S, S, 3), np.float32)
+    fg_ref = np.zeros((S, S, 3), np.float32)
+    from voicepuppet_tpu.pipeline.synthesize import constant_background
+    bg = constant_background(np.zeros((S, S, 3), np.float32))
+    frames = synth.render_frames(coeff, identity, face3d_ref, fg_ref, bg)
+    assert frames.shape[0] == 5  # chunk=16 padded, tail trimmed

@@ -125,7 +125,7 @@ def synthetic_bfm(num_theta: int = 40, num_phi: int = 40,
                 point_buf[v, counts[v]] = t + 1
                 counts[v] += 1
 
-    keypoints = rng.choice(n, size=68, replace=False).astype(np.int32)
+    keypoints = rng.choice(n, size=68, replace=n < 68).astype(np.int32)
 
     return BFMModel(
         meanshape=meanshape.astype(np.float32),

@@ -1,0 +1,361 @@
+"""End-to-end synthesis: one face image + one audio file -> video frames.
+
+The infer_bfmvid.py contract (voicepuppet/pixrefer/infer_bfmvid.py:125-246)
+re-architected for TPU.  The reference runs a serial host loop — per frame:
+NumPy 3DMM decode, C++ rasterize, feed_dict into the GAN, fetch the frame
+(infer_bfmvid.py:231-243) — crossing host<->device twice per frame.  Here
+the entire frame path
+
+    audio -> log-mel -> BFMNet -> coeff splice -> 3DMM -> rasterize ->
+    resize/paste -> PixRefer G -> composite over background
+
+runs as two jit programs: a whole-clip coefficient program and a
+chunked-batch frame program (static chunk size, padded tail), with the host
+only decoding audio, preparing reference panels, and writing PNG/mp4.
+
+External-asset boundaries (dlib/mxnet landmark detectors, Deep3DFace R-Net;
+infer_bfmvid.py:29-74, utils/utils.py:36-147) are pluggable **identity
+providers**: precomputed landmarks/coefficients from files, a user
+callable, or the synthetic demo identity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import subprocess
+from typing import Callable, Dict, Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voicepuppet_tpu.audio.frontend import MelFrontend
+from voicepuppet_tpu.audio.io import load_audio
+from voicepuppet_tpu.config import Config
+from voicepuppet_tpu.face3d import bfm as bfm_mod
+from voicepuppet_tpu.face3d import morph, raster
+from voicepuppet_tpu.models import pixrefer as px
+from voicepuppet_tpu.models.bfmnet import BFMNet
+
+
+@dataclasses.dataclass
+class Identity:
+    """Identity inputs the reference obtains from dlib+mxnet+R-Net
+    (infer_bfmvid.py:170-173): the 257-dim identity coefficient row, the
+    224-alignment transform, and the face crop geometry in the source
+    image."""
+    bfmcoeff: np.ndarray          # [1, 257]
+    transform_params: np.ndarray  # [w0, h0, 102/s, t0, t1]
+    center_x: int
+    center_y: int
+    ratio: float
+
+
+def synthetic_identity(face_model, seed: int = 0,
+                       img_size: int = 512) -> Identity:
+    """Demo identity for environments without the external detector/R-Net
+    assets: centered face, unit crop ratio."""
+    coeff = bfm_mod.demo_coeff(face_model, batch=1, seed=seed)
+    return Identity(bfmcoeff=coeff,
+                    transform_params=np.array([img_size, img_size, 1.0,
+                                               0.0, 0.0]),
+                    center_x=img_size // 2, center_y=img_size // 2,
+                    ratio=1.0)
+
+
+def splice_coeff_sequence(identity_coeff: np.ndarray,
+                          exp_seq: jax.Array) -> jax.Array:
+    """[1,257] identity + [1,T,64] predicted expressions ->
+    [T,257] (ref: infer_bfmvid.py:223-224: id[0:80] | exp | id[144:])."""
+    t = exp_seq.shape[1]
+    idc = jnp.asarray(identity_coeff, jnp.float32)
+    head = jnp.tile(idc[:, :80][:, None, :], (1, t, 1))
+    tail = jnp.tile(idc[:, 144:][:, None, :], (1, t, 1))
+    return jnp.concatenate([head, exp_seq, tail], axis=-1)[0]
+
+
+def _paste_geometry(out_hw: int, center_x: int, center_y: int,
+                    tx: int, ty: int, img_size: int):
+    """Static paste window math (ref: infer_bfmvid.py:112-121), clipped to
+    the canvas (the reference would raise on out-of-bounds)."""
+    cf = out_hw // 2
+    y0 = center_y - cf - ty
+    x0 = center_x - cf - tx
+    ty0, tx0 = max(y0, 0), max(x0, 0)
+    ty1, tx1 = min(y0 + out_hw, img_size), min(x0 + out_hw, img_size)
+    sy0, sx0 = ty0 - y0, tx0 - x0
+    sy1, sx1 = sy0 + (ty1 - ty0), sx0 + (tx1 - tx0)
+    return (ty0, ty1, tx0, tx1), (sy0, sy1, sx0, sx1)
+
+
+class Synthesizer:
+    """Holds compiled programs + weights for the synthesis pipeline."""
+
+    def __init__(self, cfg: Config, face_model,
+                 bfmnet_variables, pixrefer_g_params,
+                 chunk: int = 16, raster_size: int = 224,
+                 raster_bb: int = 12):
+        self.cfg = cfg
+        self.face_model = face_model
+        self.fm = morph.device_bfm(face_model)
+        self.frontend = MelFrontend(cfg.mel)
+        self.bfmnet = BFMNet(cfg.bfmnet)
+        self.bfm_vars = bfmnet_variables
+        self.gen = px.PixReferNet(cfg.pixrefer)
+        self.g_params = pixrefer_g_params
+        self.chunk = chunk
+        self.raster_size = raster_size
+        self.raster_bb = raster_bb
+        self.img_size = cfg.pixrefer.img_size
+        self._coeff_prog = jax.jit(self._coeff_program)
+        self._frame_prog_cache: Dict = {}
+
+    # ---- program 1: audio -> expression coefficients (whole clip) ----
+    def _coeff_program(self, pcm, ear, seq_len):
+        mfcc = self.frontend(pcm)
+        return self.bfmnet.apply(self.bfm_vars, ear, mfcc, seq_len,
+                                 train=False)
+
+    def predict_expressions(self, pcm: np.ndarray,
+                            rng_seed: int = 0) -> jax.Array:
+        """pcm [num_samples] -> exp coeffs [1, T, 64].  The reference feeds
+        a random sub-0.01 ear signal at inference (infer_bfmvid.py:182)."""
+        cfg = self.cfg
+        t = int(1 + pcm.shape[0] / cfg.frame_wav_scale)
+        pcm_len = cfg.pcm_length_for_frames(t)
+        if pcm.shape[0] < pcm_len:
+            pcm = np.pad(pcm, (0, pcm_len - pcm.shape[0]))
+        pcm = pcm[:pcm_len][None]
+        ear = (np.random.RandomState(rng_seed)
+               .rand(1, t, 1).astype(np.float32) / 100.0)
+        seq_len = np.asarray([t], np.int32)
+        return self._coeff_program(jnp.asarray(pcm), jnp.asarray(ear),
+                                   jnp.asarray(seq_len))
+
+    # ---- program 2: coeffs -> frames (chunked) ----
+    def _make_frame_program(self, out_hw: int, paste):
+        (ty0, ty1, tx0, tx1), (sy0, sy1, sx0, sx1) = paste
+        rs = self.raster_size
+        s = self.img_size
+
+        @jax.jit
+        def frame_program(g_params, coeff, angles, background,
+                          face3d_ref, fg_ref):
+            rec = morph.reconstruct_rotation(coeff, self.fm, angles,
+                                             image_size=float(rs))
+            verts = jnp.concatenate([rec.face_projection, rec.z_buffer],
+                                    axis=-1)
+            colors = jnp.floor(jnp.clip(rec.face_color, 0.0, 255.0))
+            img224, _ = raster.render_colors(verts, colors, self.fm.tri,
+                                             h=rs, w=rs, bb=self.raster_bb)
+            face = img224.astype(jnp.float32) / 255.0
+            c = coeff.shape[0]
+            face = jax.image.resize(face, (c, out_hw, out_hw, 3),
+                                    method="linear")
+            canvas = jnp.zeros((c, s, s, 3), jnp.float32)
+            canvas = canvas.at[:, ty0:ty1, tx0:tx1, :].set(
+                face[:, sy0:sy1, sx0:sx1, :])
+
+            ref = jnp.broadcast_to(face3d_ref[None], (c, s, s, 3))
+            inputs = jnp.concatenate([ref, canvas], axis=-1)
+            fg_ref_b = jnp.broadcast_to(fg_ref[None], (c, s, s, 3))
+            fg_inputs = jnp.concatenate(
+                [fg_ref_b, jnp.zeros_like(fg_ref_b)], axis=-1)
+
+            outputs, alphas, outputs_fg = self.gen.apply(
+                {"params": g_params}, px.preprocess(inputs),
+                px.preprocess(fg_inputs), px.preprocess(background))
+            frames = px.deprocess(outputs)
+            frames_fg = px.deprocess(outputs_fg + alphas - 1.0)
+            return (jnp.clip(frames * 255.0, 0, 255).astype(jnp.uint8),
+                    frames_fg, canvas)
+
+        return frame_program
+
+    def render_frames(self, coeff_seq: np.ndarray, identity: Identity,
+                      face3d_ref: np.ndarray, fg_ref: np.ndarray,
+                      backgrounds: Iterator[np.ndarray],
+                      angles: Optional[np.ndarray] = None) -> np.ndarray:
+        """coeff_seq [T,257] -> frames [T,S,S,3] uint8."""
+        from voicepuppet_tpu.pipeline.align import head_sway_angles
+        t = coeff_seq.shape[0]
+        ratio_total = identity.ratio * float(identity.transform_params[2])
+        tx = -int(identity.transform_params[3] / ratio_total)
+        ty = -int(identity.transform_params[4] / ratio_total)
+        out_hw = int(round(self.raster_size / ratio_total))
+        paste = _paste_geometry(out_hw, identity.center_x,
+                                identity.center_y, tx, ty, self.img_size)
+        key = (out_hw, paste)
+        if key not in self._frame_prog_cache:
+            self._frame_prog_cache[key] = self._make_frame_program(out_hw,
+                                                                   paste)
+        prog = self._frame_prog_cache[key]
+
+        if angles is None:
+            angles = head_sway_angles(t)
+        face3d_ref = jnp.asarray(face3d_ref, jnp.float32)
+        fg_ref = jnp.asarray(fg_ref, jnp.float32)
+
+        frames = np.zeros((t, self.img_size, self.img_size, 3), np.uint8)
+        c = self.chunk
+        for start in range(0, t, c):
+            n = min(c, t - start)
+            coeff_c = np.zeros((c, 257), np.float32)
+            coeff_c[:n] = coeff_seq[start:start + n]
+            ang_c = np.zeros((c, 3), np.float32)
+            ang_c[:n] = angles[start:start + n]
+            bg_c = np.zeros((c, self.img_size, self.img_size, 3),
+                            np.float32)
+            for i in range(n):
+                bg_c[i] = next(backgrounds)
+            out, _, _ = prog(self.g_params, jnp.asarray(coeff_c),
+                             jnp.asarray(ang_c), jnp.asarray(bg_c),
+                             face3d_ref, fg_ref)
+            frames[start:start + n] = np.asarray(out[:n])
+        return frames
+
+    # ---- the full contract ----
+    def synthesize(self, image_path_or_panel, audio_path_or_pcm,
+                   identity: Identity,
+                   backgrounds: Optional[Iterator[np.ndarray]] = None,
+                   out_dir: Optional[str] = None,
+                   audio_path_for_mux: Optional[str] = None) -> np.ndarray:
+        """image (512x1536 3-panel: img|render|alpha, infer_bfmvid.py:175-
+        178) + audio -> frames [T,S,S,3] uint8 (+ optional PNGs and
+        ffmpeg-muxed output.mp4; infer_bfmvid.py:243-246)."""
+        s = self.img_size
+        if isinstance(image_path_or_panel, str):
+            from voicepuppet_tpu.data.loaders import load_image
+            panel = load_image(image_path_or_panel)
+        else:
+            panel = np.asarray(image_path_or_panel, np.float32)
+        face3d_ref = panel[:, s:2 * s, :]
+        fg_ref = panel[:, :s, :] * (panel[:, 2 * s:, :]
+                                    if panel.shape[1] >= 3 * s
+                                    else np.ones_like(panel[:, :s, :]))
+
+        if isinstance(audio_path_or_pcm, str):
+            pcm = load_audio(audio_path_or_pcm, self.cfg.mel.sample_rate)
+            audio_path_for_mux = audio_path_for_mux or audio_path_or_pcm
+        else:
+            pcm = np.asarray(audio_path_or_pcm, np.float32)
+
+        exp = self.predict_expressions(pcm)
+        coeff_seq = np.asarray(splice_coeff_sequence(identity.bfmcoeff,
+                                                     exp))
+        if backgrounds is None:
+            backgrounds = constant_background(np.zeros((s, s, 3),
+                                              np.float32))
+        frames = self.render_frames(coeff_seq, identity, face3d_ref,
+                                    fg_ref, backgrounds)
+        if out_dir is not None:
+            write_frames_and_mux(frames, out_dir, audio_path_for_mux,
+                                 self.cfg.frame_rate)
+        return frames
+
+
+def constant_background(bg: np.ndarray) -> Iterator[np.ndarray]:
+    while True:
+        yield bg
+
+
+def cycling_backgrounds(directory: str, img_size: int,
+                        count: int = 100) -> Iterator[np.ndarray]:
+    """The reference cycles background/1.jpg..100.jpg per frame
+    (infer_bfmvid.py:238)."""
+    from voicepuppet_tpu.data.loaders import load_image
+    cache: Dict[int, np.ndarray] = {}
+    i = 0
+    while True:
+        idx = i % count + 1
+        if idx not in cache:
+            path = os.path.join(directory, f"{idx}.jpg")
+            cache[idx] = (load_image(path, resize=(img_size, img_size))
+                          if os.path.exists(path)
+                          else np.zeros((img_size, img_size, 3),
+                                        np.float32))
+        yield cache[idx]
+        i += 1
+
+
+def write_frames_and_mux(frames: np.ndarray, out_dir: str,
+                         audio_path: Optional[str], frame_rate: int):
+    """PNG sequence + ffmpeg mux (ref: infer_bfmvid.py:243-246)."""
+    from PIL import Image
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(frames.shape[0]):
+        Image.fromarray(frames[i]).save(os.path.join(out_dir, f"{i}.png"))
+    if audio_path is not None:
+        import shutil
+        ffmpeg = shutil.which("ffmpeg")
+        if ffmpeg is not None:
+            cmd = [ffmpeg, "-v", "error", "-framerate", str(frame_rate),
+                   "-i", os.path.join(out_dir, "%d.png"), "-i", audio_path,
+                   "-c:v", "libx264", "-pix_fmt", "yuv420p", "-c:a", "aac",
+                   "-shortest", "-y",
+                   os.path.join(out_dir, "output.mp4")]
+            subprocess.run(cmd, check=False)
+
+
+class SynthesisAssets:
+    """Bundle loader: builds a Synthesizer from checkpoints or fresh
+    (random-weight) models — the demo path when no training has run."""
+
+    @staticmethod
+    def demo(cfg: Config, seed: int = 0,
+             face_model=None) -> Tuple[Synthesizer, Identity]:
+        face_model = face_model or bfm_mod.synthetic_bfm(num_theta=48,
+                                                         num_phi=48)
+        rng = jax.random.PRNGKey(seed)
+        bfmnet = BFMNet(cfg.bfmnet)
+        t = 8
+        bfm_vars = bfmnet.init(
+            {"params": rng, "dropout": rng},
+            jnp.zeros((1, t, 1)), jnp.zeros((1, t * 5, 80)),
+            jnp.full((1,), t, jnp.int32), train=False)
+        s = cfg.pixrefer.img_size
+        gen = px.PixReferNet(cfg.pixrefer)
+        g_vars = gen.init(jax.random.fold_in(rng, 1),
+                          jnp.zeros((1, s, s, 6)), jnp.zeros((1, s, s, 6)),
+                          jnp.zeros((1, s, s, 3)))
+        synth = Synthesizer(cfg, face_model, bfm_vars, g_vars["params"])
+        return synth, synthetic_identity(face_model, seed, s)
+
+
+def main(argv=None):
+    """CLI mirroring the reference driver
+    (``python3 voicepuppet/pixrefer/infer_bfmvid.py --config_path
+    config/params.yml sample/22.jpg sample/test.aac``; README.md:38)."""
+    import argparse
+    from voicepuppet_tpu.config import load_config
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_path", default=None)
+    p.add_argument("--out_dir", default="output")
+    p.add_argument("--background_dir", default="background")
+    p.add_argument("--identity_npz", default=None,
+                   help="npz with bfmcoeff/transform_params/center_x/"
+                        "center_y/ratio (replaces dlib+mxnet+R-Net)")
+    p.add_argument("image")
+    p.add_argument("audio")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.config_path)
+    synth, identity = SynthesisAssets.demo(cfg)
+    if args.identity_npz:
+        blob = np.load(args.identity_npz)
+        identity = Identity(bfmcoeff=blob["bfmcoeff"],
+                            transform_params=blob["transform_params"],
+                            center_x=int(blob["center_x"]),
+                            center_y=int(blob["center_y"]),
+                            ratio=float(blob["ratio"]))
+    bgs = cycling_backgrounds(args.background_dir, cfg.pixrefer.img_size)
+    frames = synth.synthesize(args.image, args.audio, identity,
+                              backgrounds=bgs, out_dir=args.out_dir)
+    print(f"wrote {frames.shape[0]} frames to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()
