@@ -1,0 +1,105 @@
+"""PixFlowNet shape/range + train-step tests (no reference tests existed
+for this model; SURVEY.md §4)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voicepuppet_tpu.config import Config
+from voicepuppet_tpu.models import pixflow as pf
+from voicepuppet_tpu.train.pixflow_trainer import PixFlowTrainer
+
+S = 128  # PixFlow has no U-Net skips, so smaller canvases work
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    base = Config()
+    return dataclasses.replace(
+        base, pixflow=dataclasses.replace(base.pixflow, ngf=8, ndf=8,
+                                          img_size=S, batch_size=8))
+
+
+@pytest.fixture(scope="module")
+def batch(cfg):
+    rng = np.random.RandomState(0)
+    return (rng.rand(8, S, S, 6).astype(np.float32),
+            rng.rand(8, S, S, 6).astype(np.float32),
+            (rng.rand(8, S, S, 3) > 0.5).astype(np.float32))
+
+
+def test_generator_black_background_composite(cfg, batch):
+    inputs, fg, _ = batch
+    model = pf.PixFlowNet(cfg.pixflow)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng},
+                           inputs * 2 - 1, fg * 2 - 1, train=False)
+    outputs, alphas = model.apply(variables, inputs * 2 - 1, fg * 2 - 1,
+                                  train=False)
+    assert outputs.shape == (8, S, S, 3)
+    a = np.asarray(alphas)
+    assert a.min() >= 0.0 and a.max() <= 1.0
+    # out = rgb*α + α - 1: where α→0 the output must approach -1 (black)
+    o = np.asarray(outputs)
+    dark = o[a < 0.01]
+    if dark.size:
+        np.testing.assert_allclose(dark, -1.0, atol=0.05)
+
+
+def test_identical_pair_gives_zero_motion_features(cfg, batch):
+    """With ref==cur rendered faces the diffnet contribution cancels."""
+    inputs, fg, _ = batch
+    same = np.concatenate([inputs[..., :3], inputs[..., :3]], axis=-1)
+    gen = pf.PixFlowGenerator(ngf=8)
+    rng = jax.random.PRNGKey(1)
+    variables = gen.init({"params": rng, "dropout": rng}, same * 2 - 1,
+                         fg * 2 - 1, train=False)
+    # feat1 - feat0 == 0 exactly when both streams see the same input;
+    # perturbing only the current face must change the output
+    out_same = gen.apply(variables, same * 2 - 1, fg * 2 - 1, train=False)
+    moved = same.copy()
+    moved[..., 3:] = np.roll(moved[..., 3:], 5, axis=2)
+    out_moved = gen.apply(variables, moved * 2 - 1, fg * 2 - 1,
+                          train=False)
+    assert not np.allclose(np.asarray(out_same), np.asarray(out_moved))
+
+
+def test_pixflow_losses_reference_form():
+    pr = jnp.full((2, 4, 4, 1), 0.8)
+    pfk = jnp.full((2, 4, 4, 1), 0.3)
+    d = float(pf.pixflow_discriminator_loss(pr, pfk))
+    np.testing.assert_allclose(
+        d, -(np.log(0.8 + 1e-12) + np.log(0.7 + 1e-12)), rtol=1e-5)
+
+
+def test_pixflow_gan_train_step(cfg, batch):
+    trainer = PixFlowTrainer(cfg, image_size=S)
+    state = trainer.init_state()
+    key = jax.random.PRNGKey(0)
+    hist = []
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, metrics = trainer.train_step(state, batch, sub)
+        hist.append({k: float(v) for k, v in metrics.items()})
+    assert int(state.step) == 6
+    for m in hist:
+        assert np.isfinite(list(m.values())).all()
+    assert hist[-1]["discrim_loss"] < hist[0]["discrim_loss"]
+
+
+def test_pixflow_data_stream(cfg):
+    import dataclasses as dc
+    from voicepuppet_tpu.data import generators as gen
+    from tests.test_data import make_panel_clip
+    cfg2 = dc.replace(cfg, pixflow=dc.replace(cfg.pixflow, img_size=64,
+                                              crop_ratio=1.0))
+    rng = np.random.RandomState(3)
+    clip = make_panel_clip(rng, frames=4, size=64)
+    stream = iter(gen.PixFlowSampleStream(cfg2, gen.ArraySource([clip])))
+    inputs, fg_inputs, masks = next(stream)
+    assert inputs.shape == (64, 64, 6)
+    assert fg_inputs.shape == (64, 64, 6)
+    assert masks.shape == (64, 64, 3)

@@ -139,3 +139,17 @@ def test_render_texture_samples_texture():
     # left part of the triangle samples the bright half of the texture
     assert img[4, 4, 0] == 1.0
     assert img[4, 24, 0] == 0.0
+
+
+def test_pallas_kernel_matches_sequential_spec(mesh):
+    """The Mosaic kernel (interpret mode on CPU) must match the sequential
+    spec exactly — including in-order first-wins tie-breaking."""
+    from voicepuppet_tpu.ops.raster_pallas import render_colors_pallas
+    verts, tris, colors = mesh
+    want_img, want_mask = raster_ref.render_colors_ref(verts, tris, colors,
+                                                       H, W)
+    got_img, got_mask = render_colors_pallas(verts[None], colors[None],
+                                             tris, h=H, w=W,
+                                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_mask[0]), want_mask)
+    np.testing.assert_array_equal(np.asarray(got_img[0]), want_img)

@@ -1,0 +1,157 @@
+"""Tools / drivers / aux-stream tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from voicepuppet_tpu.config import Config
+from voicepuppet_tpu.data import generators as gen
+from voicepuppet_tpu.tools import makelist
+from voicepuppet_tpu.tools.bfm_tools import save_obj
+
+
+def test_makelist_split(tmp_path):
+    # build 12 fake clips with landmark files
+    for i in range(12):
+        d = tmp_path / f"clip{i:02d}"
+        d.mkdir()
+        (d / "landmark.txt").write_text("\n".join(
+            ",".join(["1.0"] * 136) for _ in range(5)) + "\n")
+    train = tmp_path / "train.txt"
+    ev = tmp_path / "eval.txt"
+    n_train, n_eval = makelist.write_dataset(str(tmp_path), str(train),
+                                             str(ev), mode="bfm",
+                                             train_by_eval=9)
+    assert n_train + n_eval == 12
+    assert n_eval == 1  # every 10th clip
+    line = train.read_text().splitlines()[0]
+    folder, count = line.split("|")
+    assert count == "5"
+
+
+def test_save_obj_roundtrip(tmp_path):
+    v = np.random.RandomState(0).rand(4, 3)
+    f = np.array([[1, 2, 3], [2, 3, 4]])
+    c = np.random.RandomState(1).rand(4, 3)
+    path = tmp_path / "mesh.obj"
+    save_obj(str(path), v, f, c)
+    lines = path.read_text().splitlines()
+    assert sum(1 for l in lines if l.startswith("v ")) == 4
+    assert sum(1 for l in lines if l.startswith("f ")) == 2
+
+
+def test_interpolate_features_rate_change():
+    feats = np.arange(100, dtype=np.float64)[:, None]
+    out = gen.interpolate_features(feats, input_rate=50.0,
+                                   output_rate=25.0)
+    assert out.shape[0] == 50
+    # downsampling a ramp keeps the ramp (x2 step)
+    np.testing.assert_allclose(np.diff(out[:, 0]), 2.0, atol=1e-9)
+
+
+def test_context_windows_shape_and_padding():
+    feats = np.arange(12, dtype=np.float32).reshape(6, 2)
+    win = gen.context_windows(feats)
+    assert win.shape == (6, 8, 2)
+    # first window: 4 zero rows then rows 0..3
+    assert np.all(win[0, :4] == 0)
+    np.testing.assert_array_equal(win[0, 4], feats[0])
+
+
+def test_audio2exp_stream():
+    cfg = Config()
+    rng = np.random.RandomState(0)
+    clip = {"bfmcoeff": rng.randn(50, 257).astype(np.float32),
+            "pcm": rng.randn(50 * 640).astype(np.float32)}
+
+    def fake_speech_fn(pcm, sr):
+        t = len(pcm) // (2 * 128)
+        return rng.rand(t, 29).astype(np.float32)
+
+    stream = iter(gen.Audio2ExpSampleStream(cfg, gen.ArraySource([clip]),
+                                            fake_speech_fn))
+    coeff, windows, t = next(stream)
+    assert t == 25
+    assert coeff.shape == (25, 257)
+    assert windows.shape == (25, 8, 29)
+
+
+def test_eval_grid_renders(tmp_path):
+    from voicepuppet_tpu.face3d import bfm as bfm_mod
+    from voicepuppet_tpu.utils.viz import plot_bfm_coeff_seq
+    model = bfm_mod.synthetic_bfm(num_theta=12, num_phi=12, seed=0)
+    coeff = bfm_mod.demo_coeff(model, batch=6, seed=1)
+    pred = np.random.RandomState(2).randn(6, 64).astype(np.float32) * 0.1
+    path = plot_bfm_coeff_seq(str(tmp_path), 100, coeff, pred, model,
+                              cols=3, size=64)
+    assert os.path.exists(path)
+    from PIL import Image
+    img = np.asarray(Image.open(path))
+    assert img.shape == (2 * 2 * 64, 3 * 64, 3)  # 2 seq x 2 rows of 3
+    assert img.sum() > 0
+
+
+def test_landmark_stroke_drawing():
+    from voicepuppet_tpu.utils.viz import draw_landmarks
+    canvas = np.full((64, 64, 3), 255, np.uint8)
+    lmk = np.random.RandomState(0).rand(68, 2) * 60 + 2
+    out = draw_landmarks(canvas, lmk, (0, 255, 0))
+    assert (out != 255).any()
+
+
+def test_infer_bfmnet_yaw_sweep_frames():
+    from voicepuppet_tpu.face3d import bfm as bfm_mod
+    from voicepuppet_tpu.pipeline.infer_drivers import (
+        render_coeff_video_frames)
+    model = bfm_mod.synthetic_bfm(num_theta=12, num_phi=12, seed=0)
+    coeff = bfm_mod.demo_coeff(model, batch=5, seed=1)
+    frames = render_coeff_video_frames(coeff, model, img_size=96,
+                                       yaw_shift=0.2, chunk=4)
+    assert frames.shape == (5, 96, 96, 3)
+    # yaw sweep: consecutive frames differ
+    assert (frames[0] != frames[4]).any()
+
+
+def test_prepare_schedule_step1(tmp_path):
+    from voicepuppet_tpu.tools.prepare_dataset import Schedule
+    cfg = Config()
+    d = tmp_path / "clip"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    lmk = rng.rand(10, 136) * 100 + 10
+    np.savetxt(d / "landmark.txt", lmk, fmt="%.3f", delimiter=",")
+    sched = Schedule(cfg)
+    n = sched.run(1, str(tmp_path), str(tmp_path))
+    assert n == 1
+    ears = np.loadtxt(d / "ear.txt")
+    assert ears.shape == (10,)
+
+
+def test_prepare_schedule_steps_3_4_need_providers(tmp_path):
+    from voicepuppet_tpu.tools.prepare_dataset import Schedule
+    sched = Schedule(Config())
+    with pytest.raises(RuntimeError, match="landmark provider"):
+        sched.run(3, str(tmp_path), str(tmp_path))
+    with pytest.raises(RuntimeError, match="identity provider"):
+        sched.run(4, str(tmp_path), str(tmp_path))
+
+
+def test_torch_prep_models_forward():
+    import torch
+    from voicepuppet_tpu.tools.models_torch import (DIMMatting,
+                                                    UnetMobilenetV2,
+                                                    predict_mask)
+    seg = UnetMobilenetV2().eval()
+    x = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    prob = predict_mask(seg, x, size=64)
+    assert prob.shape == (64, 64)
+    assert 0.0 <= prob.min() and prob.max() <= 1.0
+
+    dim = DIMMatting().eval()
+    rgb = torch.rand(1, 3, 32, 32)
+    tm = torch.rand(1, 1, 32, 32)
+    with torch.no_grad():
+        alpha = dim(rgb, tm)
+    assert alpha.shape == (1, 1, 32, 32)
+    assert float(alpha.min()) >= 0.0 and float(alpha.max()) <= 1.0

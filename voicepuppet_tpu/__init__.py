@@ -20,3 +20,25 @@ Layer map (mirrors reference SURVEY.md §1, redesigned TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the full-width BFMNet backbone
+    takes minutes to compile through the TPU tunnel; cache hits make every
+    process after the first start instantly."""
+    import os
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "VOICEPUPPET_JAX_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+

@@ -392,6 +392,420 @@ class PixReferBatcher:
                 batch = []
 
 
+class PixFlowSampleStream(PixReferSampleStream):
+    """PixFlow pairing (ref: generator.py:837-902): same random-reference +
+    crop aug as PixRefer, but yields (inputs [S,S,6] render ref⊕cur,
+    fg_inputs [S,S,6] fg ref⊕cur, masks [S,S,3] current alpha)."""
+
+    def __iter__(self):
+        cfg = self.cfg
+        s = cfg.pixflow.img_size
+        while True:
+            clips = list(self.source)
+            self.rng.shuffle(clips)
+            if not clips:
+                return
+            yielded = False
+            for clip in clips:
+                n = clip.get("frame_count",
+                             len(clip.get("images",
+                                          clip.get("image_paths", []))))
+                if n <= 0:
+                    continue
+                for i in range(n):
+                    rnd = self.rng.randrange(n)
+                    ref = _split_panels(self._load_frame(clip, rnd), s)
+                    ref = _random_crop_resize(ref, cfg.pixflow.crop_ratio,
+                                              self.rng)
+                    cur = _split_panels(self._load_frame(clip, i), s)
+                    cur = _random_crop_resize(cur, cfg.pixflow.crop_ratio,
+                                              self.rng)
+                    pair = np.stack([ref, cur])
+                    inputs = np.concatenate([pair[0, :, :, 3:6],
+                                             pair[1, :, :, 3:6]], axis=-1)
+                    targets = pair[:, :, :, 0:3]
+                    masks = pair[:, :, :, 6:9]
+                    fg = targets * masks
+                    fg_inputs = np.concatenate([fg[0], fg[1]], axis=-1)
+                    yield (inputs.astype(np.float32),
+                           fg_inputs.astype(np.float32),
+                           masks[1].astype(np.float32))
+                    yielded = True
+            if not yielded:
+                return
+
+
+class PixFlowBatcher:
+    def __init__(self, cfg: Config, source, shuffle: bool = True,
+                 seed: int = 0, batch_size: Optional[int] = None):
+        self.cfg = cfg
+        self.source = source
+        self.shuffle = shuffle
+        self.seed = seed
+        self.batch_size = batch_size or cfg.pixflow.batch_size
+
+    def __iter__(self):
+        stream = PixFlowSampleStream(self.cfg, self.source, self.seed)
+        it = iter(stream)
+        if self.shuffle:
+            it = iter(_ShuffleBuffer(it, 100, self.seed))
+        batch = []
+        for sample in it:
+            batch.append(sample)
+            if len(batch) == self.batch_size:
+                yield tuple(np.stack([b[k] for b in batch])
+                            for k in range(3))
+                batch = []
+
+
+class Pix2PixSampleStream:
+    """3-frame sliding-window variant (ref: generator.py:507-594): the
+    9-channel input stacks three consecutive rendered faces (two zero
+    frames padded at sequence start); yields
+    (inputs [S,S,9], target [S,S,3], mask [S,S,3])."""
+
+    def __init__(self, cfg: Config, source, seed: int = 0):
+        self.cfg = cfg
+        self.source = source
+        self.rng = random.Random(seed)
+
+    def __iter__(self):
+        cfg = self.cfg
+        s = cfg.pixrefer.img_size
+        seq_len = 20  # ref: generator.py:527
+        loader = PixReferSampleStream(cfg, self.source, 0)
+        while True:
+            clips = list(self.source)
+            self.rng.shuffle(clips)
+            if not clips:
+                return
+            yielded = False
+            for clip in clips:
+                n = clip.get("frame_count",
+                             len(clip.get("images",
+                                          clip.get("image_paths", []))))
+                index = 0
+                for _ in range(n // seq_len):
+                    frames = []
+                    for _ in range(seq_len):
+                        img = _split_panels(loader._load_frame(clip, index),
+                                            s)
+                        img = _random_crop_resize(
+                            img, cfg.pixrefer.crop_ratio, self.rng)
+                        frames.append(img)
+                        index += 1
+                    frames = np.asarray(frames)        # [L, S, S, 9]
+                    renders = frames[..., 3:6]
+                    padded = np.concatenate(
+                        [np.zeros((2,) + renders.shape[1:],
+                                  renders.dtype), renders], axis=0)
+                    for j in range(seq_len):
+                        window = padded[j:j + 3]        # [3, S, S, 3]
+                        inputs = np.concatenate(
+                            [window[0], window[1], window[2]], axis=-1)
+                        yield (inputs.astype(np.float32),
+                               frames[j, :, :, 0:3].astype(np.float32),
+                               frames[j, :, :, 6:9].astype(np.float32))
+                        yielded = True
+            if not yielded:
+                return
+
+
+# --------------------------------------------------------------------------
+# legacy ATVGNet streams (ref: generator.py:117-374)
+# --------------------------------------------------------------------------
+
+PCA_FEATURE_SCALE = np.array([0.5, 0.5, 0.5, 1.3, 0.5, 0.5])
+
+
+def pca_renorm(landmarks: np.ndarray, mean: np.ndarray,
+               component: np.ndarray) -> np.ndarray:
+    """The "svd renorm" that enhances mouth/eye/pose components
+    (ref: generator.py:201-203, 332-334): project onto the first 6 PCA
+    components, rescale per-component, project back."""
+    comp = component[:, :6]
+    code = (landmarks - mean) @ comp
+    code = code * (2 * PCA_FEATURE_SCALE)
+    return (code @ comp.T).astype(np.float32)
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull, [N,2] -> hull vertices CCW
+    (cv2.convexHull stand-in for the VGNet face mask;
+    generator.py:296)."""
+    pts = sorted(map(tuple, points.astype(np.float64)))
+    if len(pts) <= 2:
+        return np.asarray(pts)
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    lower, upper = [], []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def face_region_mask(landmark: np.ndarray, img_size: int) -> np.ndarray:
+    """Convex-hull face mask + elliptical dilation, value 255/256
+    (ref: generator.py:292-301): PIL polygon fill + scipy dilation replace
+    cv2.fillConvexPoly/dilate."""
+    from PIL import Image, ImageDraw
+    from scipy import ndimage
+    lmk = landmark.reshape(-1, 2).copy()
+    if (lmk < 1).all():
+        lmk = lmk * img_size
+    hull = convex_hull(lmk)
+    img = Image.new("L", (img_size, img_size), 0)
+    ImageDraw.Draw(img).polygon([(float(x), float(y)) for x, y in hull],
+                                fill=255)
+    mask = np.asarray(img, np.uint8)
+    # 5x5 elliptical structuring element (cv2.MORPH_ELLIPSE (5,5))
+    yy, xx = np.mgrid[-2:3, -2:3]
+    selem = (xx ** 2 + yy ** 2) <= 4 + 1e-9
+    mask = ndimage.grey_dilation(mask, footprint=selem)
+    return mask.astype(np.float32) / 256.0
+
+
+class ATNetSampleStream:
+    """ref: generator.py:172-226.  Yields (landmark [25,136], ear [25,1],
+    pose [25,3], pcm, example_landmark [136], seq_len)."""
+
+    def __init__(self, cfg: Config, source, pca_mean: np.ndarray,
+                 pca_component: np.ndarray, seed: int = 0,
+                 img_size: int = 224):
+        self.cfg = cfg
+        self.source = source
+        self.mean = pca_mean
+        self.component = pca_component
+        self.rng = random.Random(seed)
+        self.img_size = img_size
+
+    def __iter__(self):
+        cfg = self.cfg
+        t = 25  # generator.py:212
+        pcm_len = cfg.pcm_length_for_frames(t)
+        while True:
+            clips = list(self.source)
+            self.rng.shuffle(clips)
+            if not clips:
+                return
+            yielded = False
+            for clip in clips:
+                if not all(k in clip for k in ("bfmcoeff", "landmark",
+                                               "pcm")):
+                    continue
+                coeffs = np.asarray(clip["bfmcoeff"], np.float32)
+                lmk = np.array(clip["landmark"], np.float32)
+                pcm = np.asarray(clip["pcm"], np.float32)
+                if lmk.shape[0] != coeffs.shape[0]:
+                    continue
+                pose = pose_compute(coeffs)
+                ear = ear_compute(lmk)
+                # renorm to [-1,1] then PCA-enhance (generator.py:198-203)
+                lmk = (lmk / self.img_size - 0.5) * 2.0
+                lmk = pca_renorm(lmk, self.mean, self.component)
+                count = lmk.shape[0]
+                for i in range(count // t):
+                    l_s = lmk[i * t:(i + 1) * t]
+                    e_s = ear[i * t:(i + 1) * t]
+                    p_s = pose[i * t:(i + 1) * t]
+                    start = int(i * t * cfg.frame_wav_scale)
+                    if pcm.shape[0] < start + pcm_len:
+                        pcm = np.pad(pcm, (0, start + pcm_len
+                                           - pcm.shape[0]))
+                    rnd = self.rng.randrange(t)
+                    yield (l_s, e_s, p_s, pcm[start:start + pcm_len],
+                           l_s[rnd], t)
+                    yielded = True
+            if not yielded:
+                return
+
+
+class ATNetBatcher:
+    """Padded batches + on-device mel (ref: generator.py:232-248).
+    Yields (landmark [B,T,136], ear [B,T,1], pose [B,T,3],
+    mfcc [B,T*5,80], example_landmark [B,136], seq_len [B])."""
+
+    def __init__(self, cfg: Config, source, pca_mean, pca_component,
+                 shuffle: bool = True, seed: int = 0,
+                 batch_size: Optional[int] = None):
+        self.cfg = cfg
+        self.args = (source, pca_mean, pca_component)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.batch_size = batch_size or cfg.atnet.batch_size
+        from voicepuppet_tpu.audio.frontend import MelFrontend
+        import jax
+        self._mfcc = jax.jit(MelFrontend(cfg.mel).__call__)
+
+    def __iter__(self):
+        stream = ATNetSampleStream(self.cfg, *self.args, seed=self.seed)
+        it = iter(stream)
+        if self.shuffle:
+            it = iter(_ShuffleBuffer(it, 100, self.seed))
+        batch = []
+        for sample in it:
+            batch.append(sample)
+            if len(batch) == self.batch_size:
+                b = len(batch)
+                t = max(s[5] for s in batch)
+                out = (np.zeros((b, t, 136), np.float32),
+                       np.zeros((b, t, 1), np.float32),
+                       np.zeros((b, t, 3), np.float32),
+                       np.zeros((b, max(s[3].shape[0] for s in batch)),
+                                np.float32),
+                       np.zeros((b, 136), np.float32),
+                       np.zeros((b,), np.int32))
+                for i, (l, e, p, pcm, ex, sl) in enumerate(batch):
+                    out[0][i, :sl] = l
+                    out[1][i, :sl] = e
+                    out[2][i, :sl] = p
+                    out[3][i, :pcm.shape[0]] = pcm
+                    out[4][i] = ex
+                    out[5][i] = sl
+                yield (out[0], out[1], out[2],
+                       np.asarray(self._mfcc(out[3])), out[4], out[5])
+                batch = []
+
+
+class VGNetSampleStream:
+    """ref: generator.py:288-354.  Yields (landmark [15,136],
+    mask [15,S,S,1], imgs [15,S,S,3], example_landmark [136],
+    example_img [S,S,3], seq_len)."""
+
+    def __init__(self, cfg: Config, source, pca_mean, pca_component,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.source = source
+        self.mean = pca_mean
+        self.component = pca_component
+        self.rng = random.Random(seed)
+
+    def __iter__(self):
+        s = self.cfg.vgnet.img_size
+        t = 15  # generator.py:344
+        while True:
+            clips = list(self.source)
+            self.rng.shuffle(clips)
+            if not clips:
+                return
+            yielded = False
+            for clip in clips:
+                if "landmark" not in clip:
+                    continue
+                lmk = np.array(clip["landmark"], np.float32) / 224.0
+                if "images" in clip:
+                    imgs = np.asarray(clip["images"], np.float32)
+                else:
+                    from voicepuppet_tpu.data.loaders import load_image
+                    imgs = np.stack([load_image(p, resize=(s, s))
+                                     for p in clip.get("image_paths", [])])
+                if imgs.shape[0] != lmk.shape[0] or imgs.shape[0] == 0:
+                    continue
+                masks = np.stack([face_region_mask(l, s)
+                                  for l in lmk])[..., None]
+                lmk = (lmk - 0.5) * 2.0
+                lmk = pca_renorm(lmk, self.mean, self.component)
+                for i in range(lmk.shape[0] // t):
+                    l_s = lmk[i * t:(i + 1) * t]
+                    m_s = masks[i * t:(i + 1) * t]
+                    im_s = imgs[i * t:(i + 1) * t]
+                    rnd = self.rng.randrange(t)
+                    yield l_s, m_s, im_s, l_s[rnd], im_s[rnd], t
+                    yielded = True
+            if not yielded:
+                return
+
+
+# --------------------------------------------------------------------------
+# Audio2Exp stream — speech-logit windows (ref: generator.py:597-802)
+# --------------------------------------------------------------------------
+
+def interpolate_features(features: np.ndarray, input_rate: float,
+                         output_rate: float,
+                         output_len: Optional[int] = None) -> np.ndarray:
+    """Per-dim linear resampling of a feature sequence to the video rate
+    (ref: generator.py:670-683)."""
+    input_len, num_features = features.shape
+    if output_len is None:
+        output_len = int(input_len / float(input_rate) * output_rate)
+    in_t = np.arange(input_len) / float(input_rate)
+    out_t = np.arange(output_len) / float(output_rate)
+    out = np.zeros((output_len, num_features))
+    for k in range(num_features):
+        out[:, k] = np.interp(out_t, in_t, features[:, k])
+    return out
+
+
+def context_windows(features: np.ndarray, left: int = 4,
+                    right: int = 3) -> np.ndarray:
+    """[T, D] -> [T, left+1+right, D] zero-padded sliding windows
+    (ref: proProcessVector, generator.py:718-736: 8-frame windows)."""
+    t, d = features.shape
+    padded = np.concatenate([np.zeros((left, d), features.dtype), features,
+                             np.zeros((right, d), features.dtype)])
+    return np.stack([padded[i:i + left + 1 + right] for i in range(t)])
+
+
+class Audio2ExpSampleStream:
+    """Speech-feature windows aligned to BFM coefficients
+    (ref: generator.py:597-802).  The reference runs a frozen DeepSpeech
+    graph (an absent external asset) inside the generator; here the
+    acoustic-model forward is a pluggable ``speech_fn(pcm, sr) ->
+    [T_feat, D]`` (e.g. 29-dim logits at 50 fps).  Yields
+    (bfmcoeff [25,257], windows [25, 8, D], seq_len)."""
+
+    def __init__(self, cfg: Config, source, speech_fn, seed: int = 0):
+        self.cfg = cfg
+        self.source = source
+        self.speech_fn = speech_fn
+        self.rng = random.Random(seed)
+
+    def __iter__(self):
+        cfg = self.cfg
+        t = 25  # generator.py:763
+        # DeepSpeech features come at stride 2 over 10ms hops -> 50 fps
+        feature_rate = cfg.mel.sample_rate / cfg.mel.hop_step / 2.0
+        while True:
+            clips = list(self.source)
+            self.rng.shuffle(clips)
+            if not clips:
+                return
+            yielded = False
+            for clip in clips:
+                if "bfmcoeff" not in clip or "pcm" not in clip:
+                    continue
+                coeffs = np.asarray(clip["bfmcoeff"], np.float32)
+                pcm = np.asarray(clip["pcm"], np.float32)
+                count = coeffs.shape[0]
+                feats = np.asarray(self.speech_fn(pcm,
+                                                  cfg.mel.sample_rate))
+                num_frames = int(round(pcm.shape[0] / cfg.mel.sample_rate
+                                       * cfg.frame_rate))
+                feats = interpolate_features(feats, feature_rate,
+                                             cfg.frame_rate,
+                                             output_len=num_frames)
+                if feats.shape[0] < count:
+                    feats = np.pad(feats, ((0, count - feats.shape[0]),
+                                           (0, 0)))
+                for i in range(count // t):
+                    c_s = coeffs[i * t:(i + 1) * t]
+                    f_s = context_windows(
+                        feats[i * t:(i + 1) * t].astype(np.float32))
+                    yield c_s, f_s, t
+                    yielded = True
+            if not yielded:
+                return
+
+
 def prefetch_to_device(iterator, mesh=None, size: int = 2):
     """Double-buffered host->device pipeline: keeps ``size`` batches in
     flight so host IO hides behind device steps (the reference relies on

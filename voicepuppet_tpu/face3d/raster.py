@@ -113,34 +113,69 @@ def _barycentric(setup, fx, fy):
 
 def _resolve(pix: jax.Array, depth: jax.Array, valid: jax.Array,
              num_tri: int, num_pix: int):
-    """Scatter-max depth resolve + first-triangle-wins tie-break.
+    """Scatter-max depth resolve + first-triangle-wins tie-break, batched.
 
-    pix: [F, K] flattened pixel ids (invalid -> num_pix dump slot);
-    depth: [F, K]; valid: [F, K] bool.
-    Returns (winner [num_pix] int32 in [0, F], depth_buf [num_pix]).
+    pix: [B, F, K] per-frame pixel ids; depth: [B, F, K]; valid bool.
+    Returns (winner [B, num_pix] int32 in [0, F], depth_buf [B, num_pix]).
+
+    TPU note: the batch axis is folded into the scatter index (frame b
+    writes pixel range [b*stride, (b+1)*stride)) so XLA sees ONE flat 1-D
+    scatter — a batched scatter under vmap lowers to a serialized loop and
+    is ~3 orders of magnitude slower (measured 600ms vs 0.6ms for
+    16x70k-triangle frames).
     """
-    pix = jnp.where(valid, pix, num_pix)
-    depth = jnp.where(valid, depth, DEPTH_INIT)
-    flat_pix = pix.reshape(-1)
-    flat_depth = depth.reshape(-1)
-
-    depth_buf = jnp.full((num_pix + 1,), DEPTH_INIT, jnp.float32)
-    depth_buf = depth_buf.at[flat_pix].max(flat_depth,
-                                           mode="drop",
-                                           indices_are_sorted=False)
-
+    b = pix.shape[0]
+    stride = num_pix + 1
+    offsets = (jnp.arange(b, dtype=jnp.int32) * stride)[:, None, None]
+    dump = b * stride
+    flat_pix = jnp.where(valid, pix + offsets, dump).reshape(-1)
+    flat_depth = jnp.where(valid, depth, DEPTH_INIT).reshape(-1)
     tri_ids = jnp.broadcast_to(
-        jnp.arange(num_tri, dtype=jnp.int32)[:, None], pix.shape).reshape(-1)
-    is_winner = (flat_depth == depth_buf[flat_pix]) & (flat_depth >
-                                                       DEPTH_INIT)
-    winner_buf = jnp.full((num_pix + 1,), num_tri, jnp.int32)
-    winner_buf = winner_buf.at[jnp.where(is_winner, flat_pix,
-                                         num_pix)].min(tri_ids, mode="drop")
-    return winner_buf[:num_pix], depth_buf[:num_pix]
+        jnp.arange(num_tri, dtype=jnp.int32)[None, :, None],
+        pix.shape).reshape(-1)
+
+    # XLA's TPU scatter/gather drop to a serialized path (~9ns/element)
+    # above a size threshold; chunking keeps every op on the vectorized
+    # emitter.  Pad to a multiple of the chunk (padding goes to the dump
+    # slot, value DEPTH_INIT — a no-op for the max).
+    chunk = 4_000_000
+    n = flat_pix.shape[0]
+    c = max(1, -(-n // chunk))
+    pad = c * chunk - n
+    if pad:
+        flat_pix = jnp.concatenate(
+            [flat_pix, jnp.full((pad,), dump, jnp.int32)])
+        flat_depth = jnp.concatenate(
+            [flat_depth, jnp.full((pad,), DEPTH_INIT, jnp.float32)])
+        tri_ids = jnp.concatenate(
+            [tri_ids, jnp.full((pad,), num_tri, jnp.int32)])
+    cpix = flat_pix.reshape(c, chunk)
+    cdepth = flat_depth.reshape(c, chunk)
+    ctri = tri_ids.reshape(c, chunk)
+
+    depth_buf = jnp.full((b * stride + 1,), DEPTH_INIT, jnp.float32)
+    depth_buf = jax.lax.fori_loop(
+        0, c, lambda i, buf: buf.at[cpix[i]].max(cdepth[i], mode="drop"),
+        depth_buf)
+
+    def winner_chunk(i, wbuf):
+        d = depth_buf[cpix[i]]
+        is_winner = (cdepth[i] == d) & (cdepth[i] > DEPTH_INIT)
+        return wbuf.at[jnp.where(is_winner, cpix[i],
+                                 dump)].min(ctri[i], mode="drop")
+
+    winner_buf = jnp.full((b * stride + 1,), num_tri, jnp.int32)
+    winner_buf = jax.lax.fori_loop(0, c, winner_chunk, winner_buf)
+
+    winner = winner_buf[:b * stride].reshape(b, stride)[:, :num_pix]
+    dbuf = depth_buf[:b * stride].reshape(b, stride)[:, :num_pix]
+    return winner, dbuf
 
 
-def _render_colors_single(vertices: jax.Array, colors: jax.Array,
-                          triangles: jax.Array, h: int, w: int, bb: int):
+def _flat_fragments(vertices: jax.Array, triangles: jax.Array, h: int,
+                    w: int, bb: int):
+    """Per-frame fragment generation for the flat-shaded path:
+    [V,3] -> (pix [F,K], depth [F,K], valid [F,K])."""
     setup = _triangle_setup(vertices, triangles)
     x_min, x_max, y_min, y_max, empty = _bbox(setup, h, w)
     fx, fy = _fragment_grid(x_min, y_min, bb)
@@ -148,33 +183,15 @@ def _render_colors_single(vertices: jax.Array, colors: jax.Array,
     inside = (u >= 0) & (v >= 0) & (u + v < 1)
     in_box = (fx <= x_max[:, None]) & (fy <= y_max[:, None])
     valid = inside & in_box & (~empty)[:, None]
-
     flat_depth = jnp.mean(setup["tri_z"], axis=-1)  # mesh_core.cpp:204
     depth = jnp.broadcast_to(flat_depth[:, None], fx.shape)
-    pix = fy * w + fx
-    winner, _ = _resolve(pix, depth, valid, triangles.shape[0], h * w)
-
-    # Flat color with the C++ integer truncation (mesh_core.cpp:219):
-    # colors arrive pre-quantized by the caller (np.clip(...).astype(int32),
-    # infer_bfmvid.py:98), so the sum is integral and (int)sum/3 == sum//3.
-    tri_colors = colors[triangles, :]              # [F, 3, C]
-    color_sum = jnp.sum(jnp.floor(tri_colors), axis=1)
-    flat_color = jnp.floor(color_sum / 3.0)        # [F, C]
-    flat_color = jnp.concatenate(
-        [flat_color, jnp.zeros((1, flat_color.shape[1]),
-                               flat_color.dtype)], axis=0)
-
-    covered = winner < triangles.shape[0]
-    image = flat_color[winner].reshape(h, w, -1)
-    image = jnp.where(covered.reshape(h, w, 1), image, 0.0)
-    mask = jnp.where(covered, jnp.uint8(255), jnp.uint8(0)).reshape(h, w)
-    return image.astype(jnp.uint8), mask
+    return fy * w + fx, depth, valid
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "bb"))
 def render_colors(vertices: jax.Array, colors: jax.Array,
                   triangles: jax.Array, h: int = 224, w: int = 224,
-                  bb: int = 12) -> Tuple[jax.Array, jax.Array]:
+                  bb: int = 6) -> Tuple[jax.Array, jax.Array]:
     """Flat-shaded z-buffer render (ref: mesh_core.cpp:169-231).
 
     vertices: [B, V, 3] (x, y, depth in pixel coords); colors: [B, V, C]
@@ -184,8 +201,30 @@ def render_colors(vertices: jax.Array, colors: jax.Array,
     ``bb`` caps the per-triangle bbox window; triangles larger than ``bb``
     px are only partially filled (BFM triangles at 224² are 1-4 px).
     """
-    fn = functools.partial(_render_colors_single, h=h, w=w, bb=bb)
-    return jax.vmap(fn, in_axes=(0, 0, None))(vertices, colors, triangles)
+    b = vertices.shape[0]
+    f = triangles.shape[0]
+    pix, depth, valid = jax.vmap(
+        functools.partial(_flat_fragments, triangles=triangles, h=h, w=w,
+                          bb=bb))(vertices)
+    winner, _ = _resolve(pix, depth, valid, f, h * w)
+
+    # Flat color with the C++ integer truncation (mesh_core.cpp:219):
+    # colors arrive pre-quantized by the caller (np.clip(...).astype(int32),
+    # infer_bfmvid.py:98), so the sum is integral and (int)sum/3 == sum//3.
+    tri_colors = colors[:, triangles, :]           # [B, F, 3, C]
+    color_sum = jnp.sum(jnp.floor(tri_colors), axis=2)
+    flat_color = jnp.floor(color_sum / 3.0)        # [B, F, C]
+    c = flat_color.shape[-1]
+    flat_color = jnp.concatenate(
+        [flat_color, jnp.zeros((b, 1, c), flat_color.dtype)], axis=1)
+    # fold batch into the gather index (single axis-0 gather; see _resolve)
+    gidx = (winner + (jnp.arange(b, dtype=jnp.int32) * (f + 1))[:, None]
+            ).reshape(-1)
+    image = flat_color.reshape(b * (f + 1), c)[gidx].reshape(b, h, w, c)
+    covered = (winner < f).reshape(b, h, w)
+    image = jnp.where(covered[..., None], image, 0.0)
+    mask = jnp.where(covered, jnp.uint8(255), jnp.uint8(0))
+    return image.astype(jnp.uint8), mask
 
 
 class RasterOut(NamedTuple):
@@ -194,8 +233,9 @@ class RasterOut(NamedTuple):
     barycentric_weight: jax.Array  # [B, h, w, 3]
 
 
-def _rasterize_single(vertices: jax.Array, triangles: jax.Array,
-                      h: int, w: int, bb: int):
+def _interp_fragments(vertices: jax.Array, triangles: jax.Array, h: int,
+                      w: int, bb: int):
+    """Per-frame fragments with interpolated depth + border rule."""
     setup = _triangle_setup(vertices, triangles)
     x_min, x_max, y_min, y_max, empty = _bbox(setup, h, w)
     fx, fy = _fragment_grid(x_min, y_min, bb)
@@ -205,55 +245,63 @@ def _rasterize_single(vertices: jax.Array, triangles: jax.Array,
               (fy > h - 3))  # mesh_core.cpp:148
     in_box = (fx <= x_max[:, None]) & (fy <= y_max[:, None])
     valid = (inside | border) & in_box & (~empty)[:, None]
-
     w0 = 1.0 - u - v
     tz = setup["tri_z"]
     depth = (w0 * tz[:, 0:1] + v * tz[:, 1:2] + u * tz[:, 2:3])
-    pix = fy * w + fx
-    winner, depth_buf = _resolve(pix, depth, valid, triangles.shape[0],
-                                 h * w)
-
-    # Recompute barycentrics at each winning pixel (gather, not store).
-    covered = winner < triangles.shape[0]
-    safe_winner = jnp.where(covered, winner, 0)
-    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
-                          jnp.arange(w, dtype=jnp.int32), indexing="ij")
-    sub = {k: setup[k][safe_winner.reshape(h, w)]
-           for k in ("p0", "v0", "v1", "dot00", "dot01", "dot11",
-                     "inv_deno")}
-    px = xs.astype(jnp.float32) - sub["p0"][..., 0]
-    py = ys.astype(jnp.float32) - sub["p0"][..., 1]
-    dot02 = sub["v0"][..., 0] * px + sub["v0"][..., 1] * py
-    dot12 = sub["v1"][..., 0] * px + sub["v1"][..., 1] * py
-    uu = (sub["dot11"] * dot02 - sub["dot01"] * dot12) * sub["inv_deno"]
-    vv = (sub["dot00"] * dot12 - sub["dot01"] * dot02) * sub["inv_deno"]
-    weights = jnp.stack([1.0 - uu - vv, vv, uu], axis=-1)
-    weights = jnp.where(covered.reshape(h, w, 1), weights, 0.0)
-
-    tri_out = jnp.where(covered, winner, -1).reshape(h, w)
-    return depth_buf.reshape(h, w), tri_out, weights
+    return fy * w + fx, depth, valid, setup
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "bb"))
 def rasterize_triangles(vertices: jax.Array, triangles: jax.Array,
                         h: int = 224, w: int = 224,
-                        bb: int = 12) -> RasterOut:
+                        bb: int = 6) -> RasterOut:
     """Triangle-id + barycentric rasterization
     (ref: mesh_core.cpp:108-166).  vertices: [B, V, 3]."""
-    fn = functools.partial(_rasterize_single, h=h, w=w, bb=bb)
-    d, t, wgt = jax.vmap(fn, in_axes=(0, None))(vertices, triangles)
-    return RasterOut(d, t, wgt)
+    b = vertices.shape[0]
+    f = triangles.shape[0]
+    pix, depth, valid, setup = jax.vmap(
+        functools.partial(_interp_fragments, triangles=triangles, h=h,
+                          w=w, bb=bb))(vertices)
+    winner, depth_buf = _resolve(pix, depth, valid, f, h * w)
+
+    # Recompute barycentrics at each winning pixel (gather, not store);
+    # batch axis folded into one axis-0 gather per field.
+    covered = winner < f
+    safe = jnp.where(covered, winner, 0)
+    gidx = (safe + (jnp.arange(b, dtype=jnp.int32) * f)[:, None]
+            ).reshape(-1)
+    sub = {k: setup[k].reshape((b * f,) + setup[k].shape[2:])[gidx]
+           .reshape((b, h, w) + setup[k].shape[2:])
+           for k in ("p0", "v0", "v1", "dot00", "dot01", "dot11",
+                     "inv_deno")}
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
+                          jnp.arange(w, dtype=jnp.int32), indexing="ij")
+    px = xs[None].astype(jnp.float32) - sub["p0"][..., 0]
+    py = ys[None].astype(jnp.float32) - sub["p0"][..., 1]
+    dot02 = sub["v0"][..., 0] * px + sub["v0"][..., 1] * py
+    dot12 = sub["v1"][..., 0] * px + sub["v1"][..., 1] * py
+    uu = (sub["dot11"] * dot02 - sub["dot01"] * dot12) * sub["inv_deno"]
+    vv = (sub["dot00"] * dot12 - sub["dot01"] * dot02) * sub["inv_deno"]
+    weights = jnp.stack([1.0 - uu - vv, vv, uu], axis=-1)
+    covered_hw = covered.reshape(b, h, w)
+    weights = jnp.where(covered_hw[..., None], weights, 0.0)
+    tri_out = jnp.where(covered_hw, winner.reshape(b, h, w), -1)
+    return RasterOut(depth_buf.reshape(b, h, w), tri_out, weights)
 
 
-def _render_texture_single(vertices, triangles, texture, tex_coords,
-                           tex_triangles, h, w, bb, bilinear):
-    depth_buf, tri_buf, weights = _rasterize_single(vertices, triangles,
-                                                    h, w, bb)
-    covered = tri_buf >= 0
-    safe_tri = jnp.where(covered, tri_buf, 0)
-    tex_tri = tex_triangles[safe_tri]               # [h, w, 3]
-    corners = tex_coords[tex_tri, :2]               # [h, w, 3, 2]
-    tp = jnp.einsum("hwk,hwkc->hwc", weights, corners)
+@functools.partial(jax.jit, static_argnames=("h", "w", "bb", "bilinear"))
+def render_texture(vertices: jax.Array, triangles: jax.Array,
+                   texture: jax.Array, tex_coords: jax.Array,
+                   tex_triangles: jax.Array, h: int = 224, w: int = 224,
+                   bb: int = 6, bilinear: bool = True):
+    """UV-textured rasterization (ref: mesh_core.cpp:234-333).
+    vertices: [B, V, 3]; texture: [th, tw, C]; tex_coords: [Vt, 2+]."""
+    out = rasterize_triangles(vertices, triangles, h=h, w=w, bb=bb)
+    covered = out.triangle_buffer >= 0
+    safe_tri = jnp.where(covered, out.triangle_buffer, 0)
+    tex_tri = tex_triangles[safe_tri]               # [B, h, w, 3]
+    corners = tex_coords[tex_tri, :2]               # [B, h, w, 3, 2]
+    tp = jnp.einsum("bhwk,bhwkc->bhwc", out.barycentric_weight, corners)
     tex_h, tex_w = texture.shape[0], texture.shape[1]
     tx = jnp.clip(tp[..., 0], 0.0, tex_w - 1.0)
     ty = jnp.clip(tp[..., 1], 0.0, tex_h - 1.0)
@@ -274,20 +322,8 @@ def _render_texture_single(vertices, triangles, texture, tex_coords,
         xi = jnp.round(tx).astype(jnp.int32)
         yi = jnp.round(ty).astype(jnp.int32)
         sample = texture[yi, xi]
-    return jnp.where(covered[..., None], sample, 0.0), depth_buf
-
-
-@functools.partial(jax.jit, static_argnames=("h", "w", "bb", "bilinear"))
-def render_texture(vertices: jax.Array, triangles: jax.Array,
-                   texture: jax.Array, tex_coords: jax.Array,
-                   tex_triangles: jax.Array, h: int = 224, w: int = 224,
-                   bb: int = 12, bilinear: bool = True):
-    """UV-textured rasterization (ref: mesh_core.cpp:234-333).
-    vertices: [B, V, 3]; texture: [th, tw, C]; tex_coords: [Vt, 2+]."""
-    fn = functools.partial(_render_texture_single, h=h, w=w, bb=bb,
-                           bilinear=bilinear)
-    return jax.vmap(fn, in_axes=(0, None, None, None, None))(
-        vertices, triangles, texture, tex_coords, tex_triangles)
+    image = jnp.where(covered[..., None], sample, 0.0)
+    return image, out.depth_buffer
 
 
 @functools.partial(jax.jit, static_argnames=("num_vertices",))

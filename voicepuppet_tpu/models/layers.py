@@ -142,40 +142,48 @@ class MfccNet(nn.Module):
     activation: Callable = nn.relu6
     width_mult: float = 1.0
     bn_axis: Optional[str] = None
+    # (stem, b1..b7) widths; bfmnet variant by default, the atvgnet/elu
+    # variant uses MOBILENET_WIDTHS (atvgnet/tinynet.py:169-207)
+    widths: Tuple[int, ...] = (32, 64, 64, 128, 192, 256, 256, 256)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         act = self.activation
         w = lambda f: max(8, int(f * self.width_mult))
+        wd = self.widths
         ir = lambda f, e=6: InvertedResidual(w(f), (1, 1), e,
                                              activation=act,
                                              bn_axis=self.bn_axis)
-        x = ConvBN(w(32), (9, 5), (1, 2),
+        x = ConvBN(w(wd[0]), (9, 5), (1, 2),
                    bn_axis=self.bn_axis)(x, train)              # block0_0
-        x = ir(64, 1)(x, train)                                  # block1_0
-        x = ir(64)(x, train)                                     # block2_0
+        x = ir(wd[1], 1)(x, train)                               # block1_0
+        x = ir(wd[2])(x, train)                                  # block2_0
         x = max_pool_same(x, (2, 2), (1, 2))
-        x = ir(64)(x, train)                                     # block2_1
-        x = ir(128)(x, train)                                    # block3_0
+        x = ir(wd[2])(x, train)                                  # block2_1
+        x = ir(wd[3])(x, train)                                  # block3_0
         x = max_pool_same(x, (2, 2), (1, 2))
-        x = ir(128)(x, train)                                    # block3_1
-        x = ir(128)(x, train)                                    # block3_2
-        x = ir(192)(x, train)                                    # block4_0
+        x = ir(wd[3])(x, train)                                  # block3_1
+        x = ir(wd[3])(x, train)                                  # block3_2
+        x = ir(wd[4])(x, train)                                  # block4_0
         x = max_pool_same(x, (2, 2), (1, 2))
-        x = ir(192)(x, train)                                    # block4_1
-        x = ir(192)(x, train)                                    # block4_2
-        x = ir(192)(x, train)                                    # block4_3
-        x = ir(256)(x, train)                                    # block5_0
-        x = ir(256)(x, train)                                    # block5_1
-        x = ir(256)(x, train)                                    # block5_2
-        x = ir(256)(x, train)                                    # block6_0
+        x = ir(wd[4])(x, train)                                  # block4_1
+        x = ir(wd[4])(x, train)                                  # block4_2
+        x = ir(wd[4])(x, train)                                  # block4_3
+        x = ir(wd[5])(x, train)                                  # block5_0
+        x = ir(wd[5])(x, train)                                  # block5_1
+        x = ir(wd[5])(x, train)                                  # block5_2
+        x = ir(wd[6])(x, train)                                  # block6_0
         x = max_pool_same(x, (2, 2), (1, 2))
-        x = ir(256)(x, train)                                    # block6_1
-        x = ir(256)(x, train)                                    # block6_2
-        x = ir(256)(x, train)                                    # block7_0
+        x = ir(wd[6])(x, train)                                  # block6_1
+        x = ir(wd[6])(x, train)                                  # block6_2
+        x = ir(wd[7])(x, train)                                  # block7_0
         x = ConvBN(self.output_channels, (1, 1), (1, 1),
                    bn_axis=self.bn_axis)(x, train)               # block8_0
         return x
+
+
+# atvgnet width schedule (true MobileNetV2; atvgnet/tinynet.py:172-204)
+MOBILENET_WIDTHS = (32, 16, 24, 32, 64, 96, 160, 320)
 
 
 class ThinNet(nn.Module):
@@ -186,21 +194,28 @@ class ThinNet(nn.Module):
     activation: Callable = nn.elu
     width_mult: float = 1.0
     bn_axis: Optional[str] = None
+    # bfmnet/tinynet.py ThinNet has a stride-2 stem (tinynet.py:233);
+    # the atvgnet variant preserves spatial resolution (stride [1,1],
+    # atvgnet/tinynet.py:233)
+    stem_stride: Tuple[int, int] = (2, 2)
+    widths: Tuple[int, ...] = (32, 16, 24, 32, 64, 96, 160, 320)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         act = self.activation
         w = lambda f: max(8, int(f * self.width_mult))
+        wd = self.widths
         ir = lambda f, e=6: InvertedResidual(w(f), (1, 1), e,
                                              activation=act,
                                              bn_axis=self.bn_axis)
-        x = ConvBN(w(32), (3, 3), (2, 2),
+        x = ConvBN(w(wd[0]), (3, 3), self.stem_stride,
                    bn_axis=self.bn_axis)(x, train)
-        x = ir(16, 1)(x, train)
-        for f, reps in ((24, 2), (32, 3), (64, 4), (96, 3), (160, 3)):
+        x = ir(wd[1], 1)(x, train)
+        for f, reps in ((wd[2], 2), (wd[3], 3), (wd[4], 4), (wd[5], 3),
+                        (wd[6], 3)):
             for _ in range(reps):
                 x = ir(f)(x, train)
-        x = ir(320)(x, train)
+        x = ir(wd[7])(x, train)
         x = ConvBN(self.output_channels, (1, 1), (1, 1),
                    bn_axis=self.bn_axis)(x, train)
         return x

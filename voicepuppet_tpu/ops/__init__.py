@@ -1,0 +1,17 @@
+from voicepuppet_tpu.ops.raster_pallas import (render_colors_pallas,
+                                               rasterize_winner_pallas)
+
+
+def render_colors_auto(vertices, colors, triangles, h: int = 224,
+                       w: int = 224, bb: int = 6):
+    """Backend-dispatched flat-shaded raster: the Mosaic kernel on TPU,
+    the XLA scatter formulation elsewhere (CPU tests / virtual meshes)."""
+    import jax
+    if jax.default_backend() == "tpu":
+        return render_colors_pallas(vertices, colors, triangles, h=h, w=w)
+    from voicepuppet_tpu.face3d.raster import render_colors
+    return render_colors(vertices, colors, triangles, h=h, w=w, bb=bb)
+
+
+__all__ = ["render_colors_pallas", "rasterize_winner_pallas",
+           "render_colors_auto"]

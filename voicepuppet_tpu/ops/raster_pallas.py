@@ -1,0 +1,201 @@
+"""Pallas TPU z-buffer rasterizer.
+
+The production kernel for flat-shaded mesh rendering (the reference's
+``_render_colors_core``, utils/cython/mesh_core.cpp:169-231).  XLA's
+scatter lowers to a serialized ~9ns/element loop on TPU, which made the
+scatter-based formulation (face3d/raster.py) cost ~1.1s per 16-frame
+chunk; this kernel keeps the depth/winner buffers resident in VMEM and
+processes triangles **sequentially in index order** — which is not just
+fast but reproduces the C++ semantics *exactly*: in-order processing with
+a strict ``>`` depth test means the first triangle at a given depth wins.
+
+Layout strategy:
+  * XLA precomputes per-triangle constants (bbox, barycentric setup, flat
+    depth) as one [B, F, 16] f32 tensor — vectorized, cheap.
+  * grid = (B frames, F/T_CHUNK triangle chunks); the per-frame depth and
+    winner buffers are *outputs* whose block index depends only on the
+    frame, so they stay in VMEM across the chunk dimension (initialized at
+    chunk 0).
+  * each triangle updates an 8-row full-width [8, W] window: row-aligned
+    reads avoid lane-misaligned dynamic slicing; the inside test is
+    evaluated on [8, W] lanes with the same dot-product barycentric math
+    as the C++ (mesh_core.cpp:23-50), including the degenerate-triangle
+    quirk (inv_deno = 0 -> whole bbox passes).
+
+Triangles taller than 8px are cropped by the aligned window (knob;
+BFM triangles at 224² are 1-7 px tall).  The winner buffer
+holds triangle ids; color lookup happens outside as a vectorized gather.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEPTH_INIT = -99999.0
+# per-triangle update window: 16 rows starting at an 8-aligned origin —
+# Mosaic requires dynamic sublane slices to be provably 8-aligned, and a
+# 16-row aligned window always contains the triangle's 8-row bbox span
+WIN = 16
+T_CHUNK = 1024   # triangles per grid step
+
+
+def _triangle_table(vertices: jax.Array, triangles: jax.Array,
+                    h: int, w: int) -> jax.Array:
+    """[B, V, 3] + [F, 3] -> [B, F_pad, 16] f32 per-triangle constants:
+    (p0x, p0y, v0x, v0y, v1x, v1y, dot00, dot01, dot11, inv_deno,
+     flat_depth, x_min, x_max, y_min, y_max, y0w)."""
+    tri_xy = vertices[:, triangles, :2]          # [B, F, 3, 2]
+    tri_z = vertices[:, triangles, 2]            # [B, F, 3]
+    p0 = tri_xy[:, :, 0]
+    v0 = tri_xy[:, :, 2] - p0
+    v1 = tri_xy[:, :, 1] - p0
+    dot00 = jnp.sum(v0 * v0, -1)
+    dot01 = jnp.sum(v0 * v1, -1)
+    dot11 = jnp.sum(v1 * v1, -1)
+    deno = dot00 * dot11 - dot01 * dot01
+    inv_deno = jnp.where(deno == 0, 0.0,
+                         1.0 / jnp.where(deno == 0, 1.0, deno))
+    flat_depth = jnp.mean(tri_z, axis=-1)
+    xs = tri_xy[..., 0]
+    ys = tri_xy[..., 1]
+    x_min = jnp.maximum(jnp.ceil(jnp.min(xs, -1)), 0.0)
+    x_max = jnp.minimum(jnp.floor(jnp.max(xs, -1)), w - 1.0)
+    y_min = jnp.maximum(jnp.ceil(jnp.min(ys, -1)), 0.0)
+    y_max = jnp.minimum(jnp.floor(jnp.max(ys, -1)), h - 1.0)
+    # 8-aligned clamped window origin for the dynamic row slice
+    y0w = jnp.clip(jnp.floor(y_min / 8.0) * 8.0, 0.0, float(h - WIN))
+    table = jnp.stack([p0[..., 0], p0[..., 1], v0[..., 0], v0[..., 1],
+                       v1[..., 0], v1[..., 1], dot00, dot01, dot11,
+                       inv_deno, flat_depth, x_min, x_max, y_min, y_max,
+                       y0w], axis=-1)
+    b, f, _ = table.shape
+    f_pad = -(-f // T_CHUNK) * T_CHUNK
+    if f_pad != f:
+        pad = jnp.zeros((b, f_pad - f, 16), jnp.float32)
+        # empty bbox (x_max < x_min) -> never draws
+        pad = pad.at[..., 12].set(-1.0)
+        table = jnp.concatenate([table, pad], axis=1)
+    return table
+
+
+def _raster_kernel(tri_ref, depth_ref, winner_ref, *, h: int, w: int,
+                   num_tri: int):
+    chunk_id = pl.program_id(1)
+
+    @pl.when(chunk_id == 0)
+    def _():
+        depth_ref[...] = jnp.full((h, w), DEPTH_INIT, jnp.float32)
+        winner_ref[...] = jnp.full((h, w), num_tri, jnp.int32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (WIN, w), 1).astype(
+        jnp.float32)
+    row_off = jax.lax.broadcasted_iota(jnp.int32, (WIN, w), 0).astype(
+        jnp.float32)
+
+    def body(i, _):
+        p0x = tri_ref[i, 0]
+        p0y = tri_ref[i, 1]
+        v0x = tri_ref[i, 2]
+        v0y = tri_ref[i, 3]
+        v1x = tri_ref[i, 4]
+        v1y = tri_ref[i, 5]
+        dot00 = tri_ref[i, 6]
+        dot01 = tri_ref[i, 7]
+        dot11 = tri_ref[i, 8]
+        inv_deno = tri_ref[i, 9]
+        flat_depth = tri_ref[i, 10]
+        x_min = tri_ref[i, 11]
+        x_max = tri_ref[i, 12]
+        y_min = tri_ref[i, 13]
+        y_max = tri_ref[i, 14]
+        y0w = pl.multiple_of(tri_ref[i, 15].astype(jnp.int32), 8)
+        tri_id = chunk_id * T_CHUNK + i
+
+        rows = row_off + y0w.astype(jnp.float32)
+        px = col - p0x
+        py = rows - p0y
+        dot02 = v0x * px + v0y * py
+        dot12 = v1x * px + v1y * py
+        u = (dot11 * dot02 - dot01 * dot12) * inv_deno
+        v = (dot00 * dot12 - dot01 * dot02) * inv_deno
+        inside = (u >= 0.0) & (v >= 0.0) & (u + v < 1.0)
+        in_box = ((col >= x_min) & (col <= x_max)
+                  & (rows >= y_min) & (rows <= y_max))
+
+        d_win = depth_ref[pl.ds(y0w, WIN), :]
+        update = inside & in_box & (flat_depth > d_win)
+        depth_ref[pl.ds(y0w, WIN), :] = jnp.where(update, flat_depth,
+                                                  d_win)
+        w_win = winner_ref[pl.ds(y0w, WIN), :]
+        winner_ref[pl.ds(y0w, WIN), :] = jnp.where(
+            update, jnp.int32(tri_id), w_win)
+        return 0
+
+    jax.lax.fori_loop(0, T_CHUNK, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def rasterize_winner_pallas(vertices: jax.Array, triangles: jax.Array,
+                            h: int = 224, w: int = 224,
+                            interpret: bool = False):
+    """[B,V,3] + [F,3] -> (winner [B,h,w] int32 in [0,F], depth [B,h,w]).
+
+    ``winner == F`` marks uncovered pixels."""
+    b = vertices.shape[0]
+    f = triangles.shape[0]
+    table = _triangle_table(vertices.astype(jnp.float32), triangles, h, w)
+    f_pad = table.shape[1]
+    nc = f_pad // T_CHUNK
+
+    kernel = functools.partial(_raster_kernel, h=h, w=w, num_tri=f)
+    depth, winner = pl.pallas_call(
+        kernel,
+        grid=(b, nc),
+        in_specs=[pl.BlockSpec((None, T_CHUNK, 16),
+                               lambda bi, ci: (bi, ci, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((None, h, w), lambda bi, ci: (bi, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((None, h, w), lambda bi, ci: (bi, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
+        interpret=interpret,
+    )(table)
+    # mask winners that never drew (padded triangles can't draw: empty bbox)
+    return winner, depth
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def render_colors_pallas(vertices: jax.Array, colors: jax.Array,
+                         triangles: jax.Array, h: int = 224, w: int = 224,
+                         interpret: bool = False
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in fast path for face3d.raster.render_colors (flat-shaded
+    z-buffer, exact C++ ordering semantics).  vertices [B,V,3],
+    colors [B,V,C] (0-255 integral), triangles [F,3] int32."""
+    b = vertices.shape[0]
+    f = triangles.shape[0]
+    winner, _ = rasterize_winner_pallas(vertices, triangles, h, w,
+                                        interpret=interpret)
+    tri_colors = colors[:, triangles, :]
+    color_sum = jnp.sum(jnp.floor(tri_colors), axis=2)
+    flat_color = jnp.floor(color_sum / 3.0)
+    c = flat_color.shape[-1]
+    flat_color = jnp.concatenate(
+        [flat_color, jnp.zeros((b, 1, c), flat_color.dtype)], axis=1)
+    gidx = (winner.reshape(b, -1)
+            + (jnp.arange(b, dtype=jnp.int32) * (f + 1))[:, None]
+            ).reshape(-1)
+    image = flat_color.reshape(b * (f + 1), c)[gidx].reshape(b, h, w, c)
+    covered = winner < f
+    image = jnp.where(covered[..., None], image, 0.0)
+    mask = jnp.where(covered, jnp.uint8(255), jnp.uint8(0))
+    return image.astype(jnp.uint8), mask

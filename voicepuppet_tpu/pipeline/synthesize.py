@@ -141,15 +141,21 @@ class Synthesizer:
         s = self.img_size
 
         @jax.jit
-        def frame_program(g_params, coeff, angles, background,
+        def frame_program(g_params, coeff, angles, bg_pool, bg_idx,
                           face3d_ref, fg_ref):
+            # backgrounds live on device as a pool; per-frame selection is
+            # an on-device gather (host uploads the pool ONCE — the axon
+            # d2h/h2d link is ~25 MB/s, so per-chunk uploads dominate
+            # otherwise)
+            background = bg_pool[bg_idx]
             rec = morph.reconstruct_rotation(coeff, self.fm, angles,
                                              image_size=float(rs))
             verts = jnp.concatenate([rec.face_projection, rec.z_buffer],
                                     axis=-1)
             colors = jnp.floor(jnp.clip(rec.face_color, 0.0, 255.0))
-            img224, _ = raster.render_colors(verts, colors, self.fm.tri,
-                                             h=rs, w=rs, bb=self.raster_bb)
+            from voicepuppet_tpu.ops import render_colors_auto
+            img224, _ = render_colors_auto(verts, colors, self.fm.tri,
+                                           h=rs, w=rs, bb=self.raster_bb)
             face = img224.astype(jnp.float32) / 255.0
             c = coeff.shape[0]
             face = jax.image.resize(face, (c, out_hw, out_hw, 3),
@@ -198,21 +204,47 @@ class Synthesizer:
         face3d_ref = jnp.asarray(face3d_ref, jnp.float32)
         fg_ref = jnp.asarray(fg_ref, jnp.float32)
 
+        # normalize backgrounds to a device-resident pool + per-frame index
+        if isinstance(backgrounds, np.ndarray):
+            pool = backgrounds.reshape((-1,) + backgrounds.shape[-3:])
+            bg_idx_all = np.arange(t) % pool.shape[0]
+        else:
+            seen = []
+            bg_idx_all = np.zeros((t,), np.int32)
+            for i in range(t):
+                bg = next(backgrounds)
+                for j, s_ in enumerate(seen):
+                    if s_ is bg:
+                        bg_idx_all[i] = j
+                        break
+                else:
+                    seen.append(bg)
+                    bg_idx_all[i] = len(seen) - 1
+            pool = np.stack(seen)
+        bg_pool = jnp.asarray(pool, jnp.float32)
+
         frames = np.zeros((t, self.img_size, self.img_size, 3), np.uint8)
         c = self.chunk
+        outs = []
         for start in range(0, t, c):
             n = min(c, t - start)
             coeff_c = np.zeros((c, 257), np.float32)
             coeff_c[:n] = coeff_seq[start:start + n]
             ang_c = np.zeros((c, 3), np.float32)
             ang_c[:n] = angles[start:start + n]
-            bg_c = np.zeros((c, self.img_size, self.img_size, 3),
-                            np.float32)
-            for i in range(n):
-                bg_c[i] = next(backgrounds)
+            idx_c = np.zeros((c,), np.int32)
+            idx_c[:n] = bg_idx_all[start:start + n]
             out, _, _ = prog(self.g_params, jnp.asarray(coeff_c),
-                             jnp.asarray(ang_c), jnp.asarray(bg_c),
-                             face3d_ref, fg_ref)
+                             jnp.asarray(ang_c), bg_pool,
+                             jnp.asarray(idx_c), face3d_ref, fg_ref)
+            # async dispatch + early D2H: the transfer of chunk k overlaps
+            # the compute of chunk k+1
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                pass
+            outs.append((start, n, out))
+        for start, n, out in outs:
             frames[start:start + n] = np.asarray(out[:n])
         return frames
 

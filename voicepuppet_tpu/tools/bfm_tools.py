@@ -1,0 +1,102 @@
+"""BFM asset tooling.
+
+Host-side utilities around the Basel Face Model assets:
+
+  * :func:`convert_bfm09` — the one-time BFM09 -> ``BFM_model_front.mat``
+    converter (ref: utils/bfm_load_data.py:45-114): rescale the shape/
+    expression bases to decimeters, truncate to 80/64/80 components, and
+    crop to the 35709-vertex front region through the published index maps.
+  * :func:`load_exp_basis` — the ``Exp_Pca.bin`` reader
+    (utils/bfm_load_data.py:25-41).
+  * :func:`load_lm3d` — the 5-point standard alignment landmarks
+    (utils/bfm_load_data.py:118-129), composed with pipeline.align.
+  * :func:`save_obj` — colored-mesh .obj export (utils/bfm_load_data.py:
+    133-144; the reference's Cython tree declares a C++ writer that does
+    not exist — mesh_core_cython.pyx:36-38 — so Python is authoritative).
+"""
+
+from __future__ import annotations
+
+import os
+from array import array
+
+import numpy as np
+
+
+def load_exp_basis(model_dir: str):
+    """Read Exp_Pca.bin: (expPC [3*53215, K], expEV [K])."""
+    n_vertex = 53215
+    with open(os.path.join(model_dir, "Exp_Pca.bin"), "rb") as f:
+        dim = array("i")
+        dim.fromfile(f, 1)
+        mu = array("f")
+        mu.fromfile(f, 3 * n_vertex)
+        pc = array("f")
+        pc.fromfile(f, 3 * dim[0] * n_vertex)
+    exp_pc = np.asarray(pc).reshape(dim[0], -1).T
+    exp_ev = np.loadtxt(os.path.join(model_dir, "std_exp.txt"))
+    return exp_pc, exp_ev
+
+
+def convert_bfm09(model_dir: str, out_name: str = "BFM_model_front.mat"):
+    """BFM09 + JuYong expression basis -> the front-cropped working model.
+
+    Requires the external research assets (01_MorphableModel.mat,
+    Exp_Pca.bin, BFM_front_idx.mat, BFM_exp_idx.mat, facemodel_info.mat) in
+    ``model_dir`` — same contract as the reference converter."""
+    from scipy.io import loadmat, savemat
+
+    raw = loadmat(os.path.join(model_dir, "01_MorphableModel.mat"))
+    id_base = (raw["shapePC"] * raw["shapeEV"].reshape(1, -1))[:, :80] / 1e5
+    tex_base = (raw["texPC"] * raw["texEV"].reshape(1, -1))[:, :80]
+    exp_pc, exp_ev = load_exp_basis(model_dir)
+    ex_base = (exp_pc * exp_ev.reshape(1, -1))[:, :64] / 1e5
+
+    idx_exp = loadmat(os.path.join(model_dir, "BFM_front_idx.mat"))[
+        "idx"].astype(np.int64) - 1
+    idx_shape = loadmat(os.path.join(model_dir, "BFM_exp_idx.mat"))[
+        "trimIndex"].astype(np.int64) - 1
+    idx_shape = idx_shape[idx_exp]
+
+    def crop(base, idx, k):
+        return base.reshape(-1, 3, k)[idx.reshape(-1)].reshape(-1, k)
+
+    id_base = crop(id_base, idx_shape, 80)
+    tex_base = crop(tex_base, idx_shape, 80)
+    ex_base = crop(ex_base, idx_exp, 64)
+    meanshape = (raw["shapeMU"].reshape(-1, 3) / 1e5)[
+        idx_shape.reshape(-1)].reshape(1, -1)
+    meantex = raw["texMU"].reshape(-1, 3)[idx_shape.reshape(-1)].reshape(
+        1, -1)
+
+    info = loadmat(os.path.join(model_dir, "facemodel_info.mat"))
+    out = {"meanshape": meanshape, "meantex": meantex, "idBase": id_base,
+           "exBase": ex_base, "texBase": tex_base, "tri": info["tri"],
+           "point_buf": info["point_buf"], "tri_mask2": info["tri_mask2"],
+           "keypoints": info["keypoints"],
+           "frontmask2_idx": info["frontmask2_idx"],
+           "skinmask": info["skinmask"]}
+    savemat(os.path.join(model_dir, out_name), out)
+    return out
+
+
+def load_lm3d(model_dir: str) -> np.ndarray:
+    """5-point standard landmarks for alignment (utils/bfm_load_data.py:
+    118-129); returns [5, 3] in the order (eyeL, eyeR, nose, mouthL,
+    mouthR)."""
+    from scipy.io import loadmat
+    from voicepuppet_tpu.pipeline.align import standard_lm3d
+    lm = loadmat(os.path.join(model_dir, "similarity_Lm3D_all.mat"))["lm"]
+    return standard_lm3d(lm)
+
+
+def save_obj(path: str, vertices: np.ndarray, faces: np.ndarray,
+             colors: np.ndarray):
+    """Colored mesh export: 'v x y z r g b' rows + 1-based 'f' rows."""
+    with open(path, "w") as f:
+        for v, c in zip(vertices, colors):
+            f.write(f"v {v[0]:f} {v[1]:f} {v[2]:f} "
+                    f"{c[0]:f} {c[1]:f} {c[2]:f}\n")
+        f.write("\n")
+        for face in faces:
+            f.write(f"f {int(face[0])} {int(face[1])} {int(face[2])}\n")
