@@ -200,3 +200,60 @@ def infer_bfm_pixflow(cfg: Config, synthesizer, pixflow_trainer,
         frames.append(frame)
         save_image(os.path.join(out_dir, f"{i}.jpg"), frame)
     return np.stack(frames)
+
+
+def infer_atvgnet(cfg: Config, atnet_trainer, atnet_state, vgnet_trainer,
+                  vgnet_state, example_img: np.ndarray,
+                  example_landmark: np.ndarray, audio_path_or_pcm,
+                  pca_mean: np.ndarray, pca_component: np.ndarray,
+                  out_dir: str = "output",
+                  audio_path_for_mux: Optional[str] = None) -> np.ndarray:
+    """The legacy ATVGNet end-to-end path (ref: voicepuppet/atvgnet/
+    infer.py): audio -> ATNet landmark sequence -> VGNet video frames,
+    muxed to mp4.
+
+    ``example_landmark`` is the 136-dim landmark of the example image in
+    pixel coords; it is renormed through the PCA enhancement exactly like
+    the training stream (generator.py:198-203)."""
+    import jax.numpy as jnp
+    from voicepuppet_tpu.audio.frontend import MelFrontend
+    from voicepuppet_tpu.audio.io import load_audio
+    from voicepuppet_tpu.data.generators import pca_renorm
+    from voicepuppet_tpu.utils.video import save_image_seq_video
+
+    if isinstance(audio_path_or_pcm, str):
+        pcm = load_audio(audio_path_or_pcm, cfg.mel.sample_rate)
+        audio_path_for_mux = audio_path_for_mux or audio_path_or_pcm
+    else:
+        pcm = np.asarray(audio_path_or_pcm, np.float32)
+
+    t = int(1 + pcm.shape[0] / cfg.frame_wav_scale)
+    pcm_len = cfg.pcm_length_for_frames(t)
+    if pcm.shape[0] < pcm_len:
+        pcm = np.pad(pcm, (0, pcm_len - pcm.shape[0]))
+    mfcc = np.asarray(MelFrontend(cfg.mel)(pcm[None, :pcm_len]))
+
+    img_size = example_img.shape[0]
+    lmk = (np.asarray(example_landmark, np.float64) / img_size - 0.5) * 2.0
+    lmk = pca_renorm(lmk[None], pca_mean, pca_component)[0]
+
+    ears = _blink_ears(t)
+    poses = np.zeros((1, t, 3), np.float32)
+    seq_len = np.asarray([t], np.int32)
+    lmk_seq = np.asarray(atnet_trainer.infer(
+        atnet_state, jnp.asarray(ears), jnp.asarray(poses),
+        jnp.asarray(mfcc), jnp.asarray(lmk[None], jnp.float32),
+        jnp.asarray(seq_len)))
+
+    video, attention, color = vgnet_trainer.gen_eval.apply(
+        {"params": vgnet_state.g_params,
+         "batch_stats": vgnet_state.batch_stats["g"]},
+        jnp.asarray(example_img[None], jnp.float32),
+        jnp.asarray(lmk_seq, jnp.float32),
+        jnp.asarray(lmk[None], jnp.float32), jnp.asarray(seq_len),
+        train=False)
+    frames = np.clip(np.asarray(video[0]) * 255.0, 0, 255).astype(np.uint8)
+    os.makedirs(out_dir, exist_ok=True)
+    save_image_seq_video(frames, os.path.join(out_dir, "atvg.mp4"),
+                         cfg.frame_rate, audio_path_for_mux)
+    return frames

@@ -1,0 +1,225 @@
+"""Reference-checkpoint weight conversion (BFMNet).
+
+The reference ships TF1 checkpoints (``ckpt_bfmnet/bfmnet-65000``,
+infer_bfmvid.py:217); loading them into the flax tree needs a name/layout
+mapping (SURVEY.md §7 hard part #3).  TensorFlow is not available in this
+image, so the workflow is two-stage:
+
+1. In any TF1 environment, dump the checkpoint to npz::
+
+       import tensorflow as tf, numpy as np
+       r = tf.train.load_checkpoint("ckpt_bfmnet/bfmnet-65000")
+       np.savez("bfmnet_tf.npz", **{k.replace("/", "|"): r.get_tensor(k)
+                for k in r.get_variable_to_shape_map()})
+
+2. Here, :func:`load_bfmnet_npz` maps TF variable names onto the flax
+   parameter/batch-stats tree.
+
+Layout conversions handled:
+  * conv kernels: TF HWIO == flax HWIO (no-op)
+  * depthwise kernels: TF separable_conv2d depthwise_kernel
+    [H, W, C, 1] -> flax grouped-conv kernel [H, W, 1, C]
+  * dense kernels: TF [in, out] == flax (no-op)
+  * GRU: TF GRUCell keeps one fused gate kernel [in+h, 2h] and candidate
+    kernel [in+h, h] — identical to our TFGRUCell Dense_0/Dense_1
+  * batch norm: beta -> bias; moving_mean/variance -> batch_stats
+
+:func:`bfmnet_name_map` builds the bidirectional mapping from the flax
+tree structure itself, so it stays correct under width changes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+# reference MfccNet block schedule (tinynet.py:169-207): scope name and
+# whether the stem/head ConvBN or an inverted-residual block
+_MFCCNET_SCOPES = (
+    ("block0_0", "conv"),
+    ("block1_0", "ir"), ("block2_0", "ir"), ("block2_1", "ir"),
+    ("block3_0", "ir"), ("block3_1", "ir"), ("block3_2", "ir"),
+    ("block4_0", "ir"), ("block4_1", "ir"), ("block4_2", "ir"),
+    ("block4_3", "ir"),
+    ("block5_0", "ir"), ("block5_1", "ir"), ("block5_2", "ir"),
+    ("block6_0", "ir"), ("block6_1", "ir"), ("block6_2", "ir"),
+    ("block7_0", "ir"),
+    ("block8_0", "conv"),
+)
+
+
+def _bn_entries(tf_scope: str, flax_prefix: Tuple[str, ...]):
+    """tf.contrib.layers.batch_norm variables under ``tf_scope`` ->
+    (params bias, batch_stats mean/var)."""
+    bn = flax_prefix + ("BatchNorm_0",)
+    return [
+        (f"{tf_scope}/BatchNorm/beta", "params", bn + ("bias",), None),
+        (f"{tf_scope}/BatchNorm/moving_mean", "batch_stats",
+         bn + ("mean",), None),
+        (f"{tf_scope}/BatchNorm/moving_variance", "batch_stats",
+         bn + ("var",), None),
+    ]
+
+
+def _depthwise(x: np.ndarray) -> np.ndarray:
+    # [H, W, C, 1] -> [H, W, 1, C]
+    return np.transpose(x, (0, 1, 3, 2))
+
+
+def bfmnet_name_map() -> List[Tuple[str, str, Tuple[str, ...], object]]:
+    """(tf_name, collection, flax_path, transform) rows for BFMNet.
+
+    flax paths follow the module names in models/bfmnet.py: the backbone
+    under ``mfcc_encoder/MfccNet_0`` with ConvBN_{0,1} stem/head and
+    InvertedResidual_{i}; ``rnn_in``; ``rnn_module`` (scanned TFGRUCell
+    Dense_0 gates / Dense_1 candidate); ``bfm_coeff_decoder`` Dense_{0..2}.
+    """
+    rows: List = []
+    conv_i = 0
+    ir_i = 0
+    net = ("mfcc_encoder", "MfccNet_0")
+    for scope, kind in _MFCCNET_SCOPES:
+        tf_base = f"mfcc_encoder/MfccNet/{scope}"
+        if kind == "conv":
+            p = net + (f"ConvBN_{conv_i}",)
+            rows.append((f"{tf_base}/conv2d/conv2d/kernel", "params",
+                         p + ("Conv_0", "kernel"), None))
+            rows += _bn_entries(f"{tf_base}/conv2d", p + ("TFBatchNorm_0",))
+            conv_i += 1
+        else:
+            p = net + (f"InvertedResidual_{ir_i}",)
+            rows.append((f"{tf_base}/expansion_1x1_conv2d/conv2d/kernel",
+                         "params", p + ("Conv_0", "kernel"), None))
+            rows += _bn_entries(f"{tf_base}/expansion_1x1_conv2d",
+                                p + ("TFBatchNorm_0",))
+            rows.append((f"{tf_base}/depthwise_conv2d/separable_conv2d/"
+                         "depthwise_kernel", "params",
+                         p + ("Conv_1", "kernel"), _depthwise))
+            rows += _bn_entries(f"{tf_base}/depthwise_conv2d",
+                                p + ("TFBatchNorm_1",))
+            rows.append((f"{tf_base}/projection_1x1_conv2d/conv2d/kernel",
+                         "params", p + ("Conv_2", "kernel"), None))
+            rows += _bn_entries(f"{tf_base}/projection_1x1_conv2d",
+                                p + ("TFBatchNorm_2",))
+            ir_i += 1
+
+    # residual-shortcut 1x1 convs exist only where channels change
+    # (tinynet.py:135-139); map them by probing the flax tree at load time
+    # (rows added dynamically in load_bfmnet_npz).
+
+    rows += [
+        ("mfcc_encoder/dense/kernel", "params",
+         ("mfcc_encoder", "Dense_0", "kernel"), None),
+        ("mfcc_encoder/dense/bias", "params",
+         ("mfcc_encoder", "Dense_0", "bias"), None),
+        ("rnn_module/dense/kernel", "params", ("rnn_in", "kernel"), None),
+        ("rnn_module/dense/bias", "params", ("rnn_in", "bias"), None),
+        ("rnn_module/rnn/multi_rnn_cell/cell_0/gru_cell/gates/kernel",
+         "params", ("rnn_module", "ScanTFGRUCell_0", "Dense_0", "kernel"),
+         None),
+        ("rnn_module/rnn/multi_rnn_cell/cell_0/gru_cell/gates/bias",
+         "params", ("rnn_module", "ScanTFGRUCell_0", "Dense_0", "bias"), None),
+        ("rnn_module/rnn/multi_rnn_cell/cell_0/gru_cell/candidate/kernel",
+         "params", ("rnn_module", "ScanTFGRUCell_0", "Dense_1", "kernel"),
+         None),
+        ("rnn_module/rnn/multi_rnn_cell/cell_0/gru_cell/candidate/bias",
+         "params", ("rnn_module", "ScanTFGRUCell_0", "Dense_1", "bias"), None),
+        ("bfm_coeff_decoder/dense/kernel", "params",
+         ("bfm_coeff_decoder", "Dense_0", "kernel"), None),
+        ("bfm_coeff_decoder/dense/bias", "params",
+         ("bfm_coeff_decoder", "Dense_0", "bias"), None),
+        ("bfm_coeff_decoder/dense_1/kernel", "params",
+         ("bfm_coeff_decoder", "Dense_1", "kernel"), None),
+        ("bfm_coeff_decoder/dense_1/bias", "params",
+         ("bfm_coeff_decoder", "Dense_1", "bias"), None),
+        ("bfm_coeff_decoder/dense_2/kernel", "params",
+         ("bfm_coeff_decoder", "Dense_2", "kernel"), None),
+        ("bfm_coeff_decoder/dense_2/bias", "params",
+         ("bfm_coeff_decoder", "Dense_2", "bias"), None),
+    ]
+    return rows
+
+
+def _get(tree, path):
+    for p in path:
+        if p not in tree:
+            return None
+        tree = tree[p]
+    return tree
+
+
+def _set(tree, path, value):
+    for p in path[:-1]:
+        tree = tree.setdefault(p, {})
+    tree[path[-1]] = value
+
+
+def _shortcut_rows(variables) -> List[Tuple[str, str, Tuple[str, ...],
+                                            object]]:
+    """Inverted residuals with a channel-changing shortcut have Conv_3/
+    TFBatchNorm_3 (layers.py InvertedResidual); their TF names are the
+    block's ``1x1_conv2d`` scope (tinynet.py:29-44)."""
+    rows: List = []
+    ir_i = 0
+    for scope, kind in _MFCCNET_SCOPES:
+        if kind != "ir":
+            continue
+        p = ("mfcc_encoder", "MfccNet_0", f"InvertedResidual_{ir_i}")
+        if _get(variables["params"], p + ("Conv_3",)) is not None:
+            tf_base = f"mfcc_encoder/MfccNet/{scope}/1x1_conv2d"
+            rows.append((f"{tf_base}/conv2d/kernel", "params",
+                         p + ("Conv_3", "kernel"), None))
+            rows += _bn_entries(tf_base, p + ("TFBatchNorm_3",))
+        ir_i += 1
+    return rows
+
+
+def export_bfmnet_npz(variables, path: str):
+    """Dump a flax BFMNet variable tree under the TF variable names (the
+    inverse mapping) — used to validate bijectivity and to ship weights
+    back toward TF tooling."""
+    blob: Dict[str, np.ndarray] = {}
+    rows = bfmnet_name_map() + _shortcut_rows(variables)
+    for tf_name, coll, path_, transform in rows:
+        val = _get(variables[coll], path_)
+        if val is None:
+            continue
+        val = np.asarray(val)
+        if transform is _depthwise:
+            val = np.transpose(val, (0, 1, 3, 2))  # inverse == same perm
+        blob[tf_name.replace("/", "|")] = val
+    np.savez(path, **blob)
+
+
+def load_bfmnet_npz(path: str, variables):
+    """Overlay a TF-named npz dump onto a flax BFMNet variable tree.
+    Returns (new_variables, loaded_names, missing_names)."""
+    blob = np.load(path)
+    available = {k.replace("|", "/"): blob[k] for k in blob.files}
+    import jax
+    out = jax.tree_util.tree_map(lambda x: x, dict(variables))
+    out = {k: _deep_mutable(v) for k, v in out.items()}
+    loaded, missing = [], []
+    rows = bfmnet_name_map() + _shortcut_rows(variables)
+    for tf_name, coll, path_, transform in rows:
+        if tf_name not in available:
+            missing.append(tf_name)
+            continue
+        val = available[tf_name]
+        if transform is not None:
+            val = transform(val)
+        target = _get(variables[coll], path_)
+        if target is None or np.shape(target) != np.shape(val):
+            missing.append(tf_name)
+            continue
+        _set(out[coll], path_, np.asarray(val, np.float32))
+        loaded.append(tf_name)
+    return out, loaded, missing
+
+
+def _deep_mutable(tree):
+    if isinstance(tree, dict) or hasattr(tree, "items"):
+        return {k: _deep_mutable(v) for k, v in tree.items()}
+    return tree
