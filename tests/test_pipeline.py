@@ -105,3 +105,36 @@ def test_frame_chunking_pads_tail(cfg, demo):
     bg = constant_background(np.zeros((S, S, 3), np.float32))
     frames = synth.render_frames(coeff, identity, face3d_ref, fg_ref, bg)
     assert frames.shape[0] == 5  # chunk=16 padded, tail trimmed
+
+
+def test_sat_alignment_contract():
+    from voicepuppet_tpu.pipeline.detect import (CenteredFaceProvider,
+                                                 sat_alignment)
+    rng = np.random.RandomState(0)
+    img = rng.rand(300, 400, 3).astype(np.float32)
+    out = sat_alignment(img, CenteredFaceProvider())
+    assert out is not None
+    image, lmk, cropped, lmk_c, cx, cy, ratio = out
+    assert lmk.shape == (68, 2)
+    assert cropped.shape == (224, 224, 3)
+    assert lmk_c.shape == (136,)
+    # center is inside the image and near the face center
+    assert 0 <= cx < 400 and 0 <= cy < 300
+    assert abs(cx - 200) < 60 and abs(cy - 150) < 60
+    assert ratio > 0
+    # cropped landmarks lie inside the crop
+    pts = lmk_c.reshape(68, 2)
+    assert pts.min() >= -1 and pts.max() <= 225
+
+
+def test_file_landmark_provider(tmp_path):
+    from voicepuppet_tpu.pipeline.detect import FileLandmarkProvider
+    rows = np.random.RandomState(1).rand(3, 136) * 100
+    np.savetxt(tmp_path / "landmark.txt", rows, fmt="%.3f", delimiter=",")
+    p = FileLandmarkProvider.from_file(str(tmp_path / "landmark.txt"))
+    a = p(None)
+    b = p(None)
+    assert a.shape == (68, 2)
+    assert not np.allclose(a, b)
+    p(None)
+    assert p(None) is None  # exhausted

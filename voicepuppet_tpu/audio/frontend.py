@@ -113,9 +113,24 @@ class MelFrontend:
         return 1 + (num_samples - self.win_length) // self.hop_step
 
     def frame(self, pcm: jax.Array) -> jax.Array:
-        """[..., N] -> [..., F, win_length] strided frames (gather)."""
+        """[..., N] -> [..., F, win_length] strided frames.
+
+        Built from ``win/hop`` static slices of a hop-reshaped view instead
+        of a fancy-index gather — XLA TPU gathers serialize per element
+        (measured ~800ms for a 1005x512 index at 16 kHz clip scale)."""
         num_samples = pcm.shape[-1]
         nf = self.num_frames(num_samples)
+        if self.win_length % self.hop_step == 0:
+            k = self.win_length // self.hop_step
+            rows_needed = nf - 1 + k
+            usable = rows_needed * self.hop_step
+            if pcm.shape[-1] < usable:
+                pad = usable - pcm.shape[-1]
+                pcm = jnp.pad(pcm, [(0, 0)] * (pcm.ndim - 1) + [(0, pad)])
+            rows = pcm[..., :usable].reshape(pcm.shape[:-1]
+                                            + (rows_needed, self.hop_step))
+            parts = [rows[..., i:i + nf, :] for i in range(k)]
+            return jnp.concatenate(parts, axis=-1)
         idx = (np.arange(nf)[:, None] * self.hop_step
                + np.arange(self.win_length)[None, :])
         return pcm[..., idx]

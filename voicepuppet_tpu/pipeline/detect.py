@@ -1,0 +1,141 @@
+"""Face detection / landmark alignment providers.
+
+The reference's ``get_mxnet_sat_alignment`` (utils/utils.py:36-147) chains
+two external pretrained assets — a dlib frontal detector and the mxnet SAT
+128² heatmap landmark model — around crop-expansion math: detect one face,
+expand the box x1.5, predict 68 landmarks, then crop-expand x1.3 into a
+224² analysis frame, returning ``(image, img_landmarks, img_cropped,
+lmk_cropped, center_x, center_y, ratio)``.
+
+Here the *detectors* are pluggable providers (this image has neither dlib
+nor mxnet) and the geometry is reproduced exactly:
+
+  * :class:`FileLandmarkProvider` — per-frame landmarks from the prepared
+    ``landmark.txt`` rows (the usual case for prepared datasets)
+  * :class:`CallableLandmarkProvider` — wrap any detector callable
+  * :class:`CenteredFaceProvider` — deterministic synthetic landmarks for
+    demos/tests
+  * :func:`sat_alignment` — the crop/expand/center math around a provider
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Protocol, Tuple
+
+import numpy as np
+
+
+class LandmarkProvider(Protocol):
+    def __call__(self, image: np.ndarray) -> Optional[np.ndarray]:
+        """RGB image -> 68x2 landmarks in image pixel coords, or None."""
+
+
+@dataclasses.dataclass
+class FileLandmarkProvider:
+    """Serves successive rows of a landmark.txt file
+    (flattened 136-dim rows; generator/loader.py:58-66)."""
+    rows: np.ndarray
+    index: int = 0
+
+    @classmethod
+    def from_file(cls, path: str, norm_size: float = 1.0):
+        from voicepuppet_tpu.data.loaders import load_landmarks
+        return cls(rows=load_landmarks(path, norm_size))
+
+    def __call__(self, image: np.ndarray) -> Optional[np.ndarray]:
+        if self.index >= self.rows.shape[0]:
+            return None
+        lmk = self.rows[self.index].reshape(68, 2)
+        self.index += 1
+        return lmk
+
+
+@dataclasses.dataclass
+class CallableLandmarkProvider:
+    fn: Callable[[np.ndarray], Optional[np.ndarray]]
+
+    def __call__(self, image: np.ndarray) -> Optional[np.ndarray]:
+        return self.fn(image)
+
+
+class CenteredFaceProvider:
+    """Synthetic landmark layout centered in the frame — a stand-in for the
+    dlib+SAT stack so demos run without external assets."""
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        h, w = image.shape[:2]
+        cx, cy = w / 2.0, h / 2.0
+        s = min(h, w) * 0.25
+        t = np.linspace(0, np.pi, 17)
+        jaw = np.stack([cx + s * np.cos(np.pi - t),
+                        cy + s * 0.2 + s * np.sin(t) * 0.9], 1)
+        brow_r = np.stack([cx - s * 0.7 + np.linspace(0, s * 0.5, 5),
+                           np.full(5, cy - s * 0.5)], 1)
+        brow_l = np.stack([cx + s * 0.2 + np.linspace(0, s * 0.5, 5),
+                           np.full(5, cy - s * 0.5)], 1)
+        nose = np.stack([np.full(4, cx),
+                         cy - s * 0.3 + np.linspace(0, s * 0.5, 4)], 1)
+        nose_base = np.stack([cx + np.linspace(-s * .15, s * .15, 5),
+                              np.full(5, cy + s * 0.25)], 1)
+        ang = np.linspace(0, 2 * np.pi, 6, endpoint=False)
+        eye_r = np.stack([cx - s * 0.45 + 0.15 * s * np.cos(ang),
+                          cy - s * 0.25 + 0.08 * s * np.sin(ang)], 1)
+        eye_l = np.stack([cx + s * 0.45 + 0.15 * s * np.cos(ang),
+                          cy - s * 0.25 + 0.08 * s * np.sin(ang)], 1)
+        ang2 = np.linspace(0, 2 * np.pi, 12, endpoint=False)
+        lip_o = np.stack([cx + 0.3 * s * np.cos(ang2),
+                          cy + s * 0.55 + 0.15 * s * np.sin(ang2)], 1)
+        ang3 = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+        lip_i = np.stack([cx + 0.18 * s * np.cos(ang3),
+                          cy + s * 0.55 + 0.08 * s * np.sin(ang3)], 1)
+        return np.concatenate([jaw, brow_r, brow_l, nose, nose_base,
+                               eye_r, eye_l, lip_o, lip_i]).astype(
+                                   np.float32)
+
+
+def _expand_box(x0, y0, x1, y1, factor, w, h):
+    cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+    half = max(x1 - x0, y1 - y0) * factor / 2.0
+    return (max(int(cx - half), 0), max(int(cy - half), 0),
+            min(int(cx + half), w), min(int(cy + half), h))
+
+
+def sat_alignment(image: np.ndarray, provider: LandmarkProvider,
+                  out_size: int = 224, box_expand: float = 1.5,
+                  crop_expand: float = 1.3):
+    """The get_mxnet_sat_alignment contract (utils/utils.py:36-147):
+    returns (image, img_landmarks [68,2], img_cropped [224,224,3],
+    lmk_cropped [136], center_x, center_y, ratio) or None when no face.
+
+    ``ratio`` maps the 224² analysis frame back to source pixels; it feeds
+    the render placement math (infer_bfmvid.py:79-122)."""
+    from PIL import Image
+    h, w = image.shape[:2]
+    lmk = provider(image)
+    if lmk is None:
+        return None
+    lmk = np.asarray(lmk, np.float64)
+
+    # landmark bbox, expanded like the detector box then the final crop
+    x0, y0 = lmk.min(0)
+    x1, y1 = lmk.max(0)
+    x0, y0, x1, y1 = _expand_box(x0, y0, x1, y1, box_expand, w, h)
+    bx0, by0, bx1, by1 = _expand_box(x0, y0, x1, y1,
+                                     crop_expand / box_expand * 1.5, w, h)
+    center_x = (bx0 + bx1) // 2
+    center_y = (by0 + by1) // 2
+    crop_w = max(bx1 - bx0, 1)
+    ratio = out_size / float(crop_w)
+
+    img_u8 = (np.clip(image * 255.0, 0, 255).astype(np.uint8)
+              if image.dtype != np.uint8 else image)
+    pil = Image.fromarray(img_u8).crop((bx0, by0, bx1, by1)).resize(
+        (out_size, out_size), Image.BILINEAR)
+    img_cropped = np.asarray(pil)
+    lmk_cropped = ((lmk - np.array([bx0, by0])) *
+                   np.array([out_size / (bx1 - bx0),
+                             out_size / (by1 - by0)]))
+    return (image, lmk.astype(np.float32), img_cropped,
+            lmk_cropped.reshape(-1).astype(np.float32),
+            int(center_x), int(center_y), float(ratio))

@@ -121,12 +121,12 @@ class BFMNetTrainer:
                 logger.log(int(state.step), **metrics)
             step = int(state.step)
             if eval_batches is not None and step % tcfg.eval_interval == 0:
-                eval_loss, eval_out = self.eval_loss(state,
-                                                     next(eval_batches))
+                eval_batch = next(eval_batches)
+                eval_loss, eval_out = self.eval_loss(state, eval_batch)
                 if logger is not None:
                     logger.log(step, eval_loss=eval_loss)
                 if eval_hook is not None:
-                    eval_hook(step, state, eval_out)
+                    eval_hook(step, state, eval_batch, eval_out)
             if ckpt is not None:
                 ckpt.maybe_save(step, state)
         return state
@@ -173,9 +173,20 @@ def main(argv=None):
     eval_src = FileSource(cfg.dataset.eval_dataset_path, cfg)
     batcher = BFMNetBatcher(cfg, train_src)
     eval_batcher = BFMNetBatcher(cfg, eval_src, shuffle=False)
+
+    # rendered eval grids at eval cadence, the reference's de-facto
+    # integration test (train_bfmnet.py:130-138, bfm_visual.py:88-154)
+    eval_dir = os.path.join(args.log_dir, "eval_bfmnet")
+
+    def eval_hook(step, _state, batch, eval_out):
+        from voicepuppet_tpu.utils.viz import plot_bfm_coeff_seq
+        coeff = np.asarray(batch[0][0])          # [T, 257] first row
+        pred = np.asarray(eval_out[0])           # [T, 64]
+        plot_bfm_coeff_seq(eval_dir, step, coeff, pred, face_model)
+
     steps = args.steps if args.steps is not None else tcfg.epochs
     trainer.fit(state, iter(batcher), steps, iter(eval_batcher), logger,
-                ckpt)
+                ckpt, eval_hook=eval_hook)
 
 
 if __name__ == "__main__":
