@@ -511,6 +511,33 @@ class Pix2PixSampleStream:
                 return
 
 
+class Pix2PixBatcher:
+    """Batches the 3-frame-window stream (ref: generator.py:581-594;
+    batch 4).  Yields (inputs [B,S,S,9], targets [B,S,S,3],
+    masks [B,S,S,3])."""
+
+    def __init__(self, cfg: Config, source, shuffle: bool = True,
+                 seed: int = 0, batch_size: int = 4):
+        self.cfg = cfg
+        self.source = source
+        self.shuffle = shuffle
+        self.seed = seed
+        self.batch_size = batch_size
+
+    def __iter__(self):
+        stream = Pix2PixSampleStream(self.cfg, self.source, self.seed)
+        it = iter(stream)
+        if self.shuffle:
+            it = iter(_ShuffleBuffer(it, 100, self.seed))
+        batch = []
+        for sample in it:
+            batch.append(sample)
+            if len(batch) == self.batch_size:
+                yield tuple(np.stack([b[k] for b in batch])
+                            for k in range(3))
+                batch = []
+
+
 # --------------------------------------------------------------------------
 # legacy ATVGNet streams (ref: generator.py:117-374)
 # --------------------------------------------------------------------------

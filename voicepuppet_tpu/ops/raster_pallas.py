@@ -43,7 +43,10 @@ DEPTH_INIT = -99999.0
 # Mosaic requires dynamic sublane slices to be provably 8-aligned, and a
 # 16-row aligned window always contains the triangle's 8-row bbox span
 WIN = 16
-T_CHUNK = 1024   # triangles per grid step
+# 256-triangle SMEM blocks: per-triangle constants are consumed as scalars,
+# and scalar reads from SMEM measured ~20% faster than VMEM (204 vs 255 ms
+# per 16-frame chunk at 70k triangles)
+T_CHUNK = 256
 
 
 def _triangle_table(vertices: jax.Array, triangles: jax.Array,
@@ -162,7 +165,7 @@ def rasterize_winner_pallas(vertices: jax.Array, triangles: jax.Array,
         grid=(b, nc),
         in_specs=[pl.BlockSpec((None, T_CHUNK, 16),
                                lambda bi, ci: (bi, ci, 0),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec((None, h, w), lambda bi, ci: (bi, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((None, h, w), lambda bi, ci: (bi, 0, 0),

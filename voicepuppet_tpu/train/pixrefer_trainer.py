@@ -165,12 +165,26 @@ class PixReferTrainer:
     def fit(self, state, batches: Iterator, num_steps: int, logger=None,
             ckpt=None, seed: int = 0):
         rng = jax.random.PRNGKey(seed)
+        tcfg = self.cfg.pixrefer.training
         for _ in range(num_steps):
             rng, sub = jax.random.split(rng)
-            state, metrics = self.train_step(state, next(batches), sub)
+            batch = next(batches)
+            state, metrics = self.train_step(state, batch, sub)
             step = int(state.step)
             if logger is not None:
                 logger.log(step, **metrics)
+                # image summaries at summary cadence
+                # (ref: train_pixrefer.py:101-131, 144-146)
+                if step % tcfg.summary_interval == 0:
+                    inputs, fg_inputs, targets, masks = batch
+                    outputs, out_fg = self.infer(state, inputs[:1],
+                                                 fg_inputs[:1],
+                                                 targets[:1])
+                    strip = np.concatenate(
+                        [np.asarray(inputs[0, ..., 3:6]),
+                         np.asarray(targets[0]),
+                         np.clip(np.asarray(outputs[0]), 0, 1)], axis=1)
+                    logger.log_image(step, "pixrefer", strip)
             if ckpt is not None:
                 ckpt.maybe_save(step, state)
         return state
