@@ -138,3 +138,58 @@ def test_file_landmark_provider(tmp_path):
     assert not np.allclose(a, b)
     p(None)
     assert p(None) is None  # exhausted
+
+
+def test_sharded_synthesizer_multichip(cfg, demo):
+    """Frame chunks shard across the 8-device mesh (inference sequence
+    parallelism) and produce the same frames as single-device."""
+    from voicepuppet_tpu.face3d import bfm as bfm_mod
+    from voicepuppet_tpu.parallel.mesh import make_mesh
+    from voicepuppet_tpu.pipeline.synthesize import (Synthesizer,
+                                                     constant_background)
+    synth1, identity = demo
+    mesh = make_mesh()
+    # same chunk size: the GAN's per-batch BN (reference training=True
+    # semantics) makes outputs depend on the chunk batch, so only the
+    # sharding may differ (GSPMD reduces BN moments over the full chunk)
+    synthN = Synthesizer(cfg, synth1.face_model, synth1.bfm_vars,
+                         synth1.g_params, chunk=synth1.chunk, mesh=mesh)
+    coeff = np.asarray(np.random.RandomState(2).randn(10, 257),
+                       np.float32) * 0.1
+    ref = np.zeros((S, S, 3), np.float32)
+    bg = np.zeros((1, S, S, 3), np.float32)
+    f1 = synth1.render_frames(coeff, identity, ref, ref, bg)
+    fN = synthN.render_frames(coeff, identity, ref, ref, bg)
+    assert fN.shape == f1.shape
+    # same computation, sharded: allow ±1 uint8 for reduction-order noise
+    diff = np.abs(f1.astype(int) - fN.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.05
+
+
+def test_from_checkpoints_roundtrip(cfg, tmp_path):
+    """Save both trainers' states and rebuild a Synthesizer from the
+    checkpoint directories (the two-checkpoint compose of
+    infer_bfmvid.py:207-218)."""
+    from voicepuppet_tpu.face3d import bfm as bfm_mod
+    from voicepuppet_tpu.pipeline.synthesize import SynthesisAssets
+    from voicepuppet_tpu.train.bfmnet_trainer import BFMNetTrainer
+    from voicepuppet_tpu.train.checkpoint import CheckpointManager
+    from voicepuppet_tpu.train.pixrefer_trainer import PixReferTrainer
+
+    fmodel = bfm_mod.synthetic_bfm(num_theta=16, num_phi=16, seed=1)
+    bt = BFMNetTrainer(cfg, fmodel)
+    bs = bt.init_state(example_t=4)
+    CheckpointManager(str(tmp_path / "bfm"), 2, 1).save(1, bs)
+    pt = PixReferTrainer(cfg)
+    ps = pt.init_state()
+    CheckpointManager(str(tmp_path / "px"), 2, 1).save(1, ps)
+
+    synth = SynthesisAssets.from_checkpoints(
+        cfg, str(tmp_path / "bfm"), str(tmp_path / "px"),
+        face_model=fmodel)
+    import jax
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        synth.g_params, ps.g_params)

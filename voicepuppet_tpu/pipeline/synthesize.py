@@ -96,7 +96,12 @@ class Synthesizer:
     def __init__(self, cfg: Config, face_model,
                  bfmnet_variables, pixrefer_g_params,
                  chunk: int = 16, raster_size: int = 224,
-                 raster_bb: int = 12):
+                 raster_bb: int = 12, mesh=None):
+        """``mesh``: an optional jax.sharding.Mesh with a ``data`` axis —
+        frame chunks are then sharded across it (inference sequence
+        parallelism: the post-GRU frame path is embarrassingly parallel,
+        SURVEY.md §2.3; on a v5e-8 this multiplies frame throughput by the
+        slice size)."""
         self.cfg = cfg
         self.face_model = face_model
         self.fm = morph.device_bfm(face_model)
@@ -105,6 +110,10 @@ class Synthesizer:
         self.bfm_vars = bfmnet_variables
         self.gen = px.PixReferNet(cfg.pixrefer)
         self.g_params = pixrefer_g_params
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = mesh.shape["data"]
+            chunk = max(chunk, n_dev) - (max(chunk, n_dev) % n_dev)
         self.chunk = chunk
         self.raster_size = raster_size
         self.raster_bb = raster_bb
@@ -178,6 +187,14 @@ class Synthesizer:
             return (jnp.clip(frames * 255.0, 0, 255).astype(jnp.uint8),
                     frames_fg, canvas)
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            sh = NamedSharding(self.mesh, P("data"))
+            frame_program = jax.jit(
+                frame_program.__wrapped__,
+                in_shardings=(rep, sh, sh, rep, sh, rep, rep),
+                out_shardings=(sh, sh, sh))
         return frame_program
 
     def render_frames(self, coeff_seq: np.ndarray, identity: Identity,
@@ -334,6 +351,30 @@ def write_frames_and_mux(frames: np.ndarray, out_dir: str,
 class SynthesisAssets:
     """Bundle loader: builds a Synthesizer from checkpoints or fresh
     (random-weight) models — the demo path when no training has run."""
+
+    @staticmethod
+    def from_checkpoints(cfg: Config, bfmnet_ckpt_dir: str,
+                         pixrefer_ckpt_dir: str, face_model=None,
+                         mesh=None) -> "Synthesizer":
+        """Compose the two trained models (the reference restores two
+        scoped checkpoints into one graph; infer_bfmvid.py:207-218) from
+        their orbax directories."""
+        from voicepuppet_tpu.train.bfmnet_trainer import BFMNetTrainer
+        from voicepuppet_tpu.train.checkpoint import CheckpointManager
+        from voicepuppet_tpu.train.pixrefer_trainer import PixReferTrainer
+
+        face_model = face_model or bfm_mod.synthetic_bfm(num_theta=48,
+                                                         num_phi=48)
+        bfm_trainer = BFMNetTrainer(cfg, face_model)
+        bfm_state = CheckpointManager(bfmnet_ckpt_dir).restore(
+            bfm_trainer.init_state())
+        px_trainer = PixReferTrainer(cfg)
+        px_state = CheckpointManager(pixrefer_ckpt_dir).restore(
+            px_trainer.init_state())
+        bfm_vars = {"params": bfm_state.params,
+                    "batch_stats": bfm_state.batch_stats}
+        return Synthesizer(cfg, face_model, bfm_vars, px_state.g_params,
+                           mesh=mesh)
 
     @staticmethod
     def demo(cfg: Config, seed: int = 0,
