@@ -243,3 +243,12 @@ def test_tf_checkpoint_mapping_roundtrip(tmp_path):
         want = tfc._get(variables[coll], p)
         got = tfc._get(out[coll], p)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_unet_resnet_forward():
+    import torch
+    from voicepuppet_tpu.tools.models_torch import UnetResNet
+    m = UnetResNet(34).eval()
+    with torch.no_grad():
+        y = m(torch.rand(1, 3, 64, 64))
+    assert tuple(y.shape) == (1, 1, 64, 64)

@@ -109,6 +109,83 @@ class UnetMobilenetV2(nn.Module):
         self.load_state_dict(state, strict=False)
 
 
+class _BasicBlock(nn.Module):
+    def __init__(self, inp, oup, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inp, oup, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(oup)
+        self.conv2 = nn.Conv2d(oup, oup, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(oup)
+        self.down = (nn.Sequential(nn.Conv2d(inp, oup, 1, stride,
+                                             bias=False),
+                                   nn.BatchNorm2d(oup))
+                     if stride != 1 or inp != oup else None)
+
+    def forward(self, x):
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        s = x if self.down is None else self.down(x)
+        return F.relu(y + s)
+
+
+def _res_stage(inp, oup, blocks, stride):
+    layers = [_BasicBlock(inp, oup, stride)]
+    layers += [_BasicBlock(oup, oup) for _ in range(blocks - 1)]
+    return nn.Sequential(*layers)
+
+
+class UnetResNet(nn.Module):
+    """ResNet-34-encoder U-Net segmentation variant
+    (ref architecture: datasets/models.py:57-127 — the reference keeps both
+    a ResNet- and a MobileNetV2-encoder U-Net; weights are external;
+    torchvision is absent from this image so the trunk is built inline)."""
+
+    def __init__(self, depth: int = 34):
+        super().__init__()
+        reps = (3, 4, 6, 3) if depth == 34 else (2, 2, 2, 2)
+        self.stem = nn.Sequential(
+            nn.Conv2d(3, 64, 7, 2, 3, bias=False), nn.BatchNorm2d(64),
+            nn.ReLU(inplace=True))
+        self.pool = nn.MaxPool2d(3, 2, 1)
+        self.layers = nn.ModuleList([
+            _res_stage(64, 64, reps[0], 1),
+            _res_stage(64, 128, reps[1], 2),
+            _res_stage(128, 256, reps[2], 2),
+            _res_stage(256, 512, reps[3], 2)])
+        chans = [512, 256, 128, 64, 64]
+        ups = []
+        in_ch = chans[0]
+        for c in chans[1:]:
+            ups.append(nn.Sequential(
+                nn.Conv2d(in_ch + c, c, 3, padding=1, bias=False),
+                nn.BatchNorm2d(c), nn.ReLU(inplace=True)))
+            in_ch = c
+        self.ups = nn.ModuleList(ups)
+        self.head = nn.Conv2d(64, 1, 1)
+
+    def forward(self, x):
+        s0 = self.stem(x)                    # /2, 64
+        y = self.pool(s0)
+        skips = []
+        for layer in self.layers:
+            y = layer(y)
+            skips.append(y)                  # /4 64, /8 128, /16 256, /32 512
+        feats = skips[:-1][::-1] + [s0]      # 256,128,64,64
+        out = skips[-1]
+        for up, skip in zip(self.ups, feats):
+            out = F.interpolate(out, size=skip.shape[-2:], mode="bilinear",
+                                align_corners=False)
+            out = up(torch.cat([out, skip], dim=1))
+        out = F.interpolate(out, scale_factor=2, mode="bilinear",
+                            align_corners=False)
+        return self.head(out)
+
+    def load_state(self, path: str):
+        blob = torch.load(path, map_location="cpu")
+        state = blob.get("state_dict", blob)
+        self.load_state_dict(state, strict=False)
+
+
 class DIMMatting(nn.Module):
     """Deep Image Matting: VGG16-ish encoder over RGB+trimap, mirror
     decoder -> alpha (ref architecture: datasets/models.py:441-519)."""
