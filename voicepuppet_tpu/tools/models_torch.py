@@ -1,12 +1,17 @@
 """Torch architectures for the data-prep toolchain (host-side, CPU).
 
-Fresh implementations of the two prep networks the reference uses in
-step 6 of make_data_from_GRID.py (datasets/models.py): a MobileNetV2-
-encoder U-Net for person segmentation (models.py:261-355) and a
-SegNet/VGG16-style Deep-Image-Matting model (models.py:441-519).  The
-pretrained weights (``mobilenetV2_model_checkpoint_metric.pth``,
-``BEST_checkpoint.tar``; make_data_from_GRID.py:505-513) are external
-assets — ``load_state`` hooks accept them when present.
+Fresh implementations of the reference's prep networks
+(datasets/models.py): a MobileNetV2-encoder U-Net for person segmentation
+(models.py:261-355, used by prepare_dataset step 6), a ResNet-encoder
+U-Net variant (models.py:57-127, carried for inventory parity, no
+pipeline consumer), and a SegNet/VGG16-style Deep-Image-Matting model
+(models.py:441-519).  The pretrained weights
+(``mobilenetV2_model_checkpoint_metric.pth``, ``BEST_checkpoint.tar``;
+make_data_from_GRID.py:505-513) are external assets — ``load_state``
+hooks accept them when present.  NOTE: this repo's module/parameter names
+differ from the reference's torchvision-based names, so real reference
+checkpoints need key remapping; ``_load_torch_state`` fails loudly when
+nothing matches instead of silently keeping random init.
 
 These run only in the offline prep pipeline, never on TPU.
 """
@@ -18,6 +23,28 @@ from typing import Optional
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
+
+
+def _load_torch_state(module: nn.Module, path: str,
+                      min_match_frac: float = 0.5):
+    """Shared checkpoint loader: unwraps common blob layouts and refuses a
+    silent no-op load (strict=False matching ~zero keys)."""
+    blob = torch.load(path, map_location="cpu")
+    state = blob
+    for key in ("state_dict", "model"):
+        if isinstance(state, dict) and key in state:
+            state = state[key]
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    own = module.state_dict()
+    matched = [k for k in state if k in own
+               and own[k].shape == state[k].shape]
+    if len(matched) < min_match_frac * len(own):
+        raise ValueError(
+            f"checkpoint {path} matched only {len(matched)}/{len(own)} "
+            "parameters — key names likely need remapping")
+    module.load_state_dict({k: state[k] for k in matched}, strict=False)
+    return len(matched)
 
 
 class InvertedResidualT(nn.Module):
@@ -99,14 +126,12 @@ class UnetMobilenetV2(nn.Module):
             y = F.interpolate(y, size=skip.shape[-2:], mode="bilinear",
                               align_corners=False)
             y = up(torch.cat([y, skip], dim=1))
-        y = F.interpolate(y, scale_factor=2, mode="bilinear",
+        y = F.interpolate(y, size=x.shape[-2:], mode="bilinear",
                           align_corners=False)
         return self.head(y)
 
     def load_state(self, path: str):
-        blob = torch.load(path, map_location="cpu")
-        state = blob.get("state_dict", blob)
-        self.load_state_dict(state, strict=False)
+        _load_torch_state(self, path)
 
 
 class _BasicBlock(nn.Module):
@@ -142,6 +167,9 @@ class UnetResNet(nn.Module):
 
     def __init__(self, depth: int = 34):
         super().__init__()
+        if depth not in (18, 34):
+            raise ValueError("basic-block trunk supports depth 18 or 34, "
+                             f"got {depth}")
         reps = (3, 4, 6, 3) if depth == 34 else (2, 2, 2, 2)
         self.stem = nn.Sequential(
             nn.Conv2d(3, 64, 7, 2, 3, bias=False), nn.BatchNorm2d(64),
@@ -176,14 +204,12 @@ class UnetResNet(nn.Module):
             out = F.interpolate(out, size=skip.shape[-2:], mode="bilinear",
                                 align_corners=False)
             out = up(torch.cat([out, skip], dim=1))
-        out = F.interpolate(out, scale_factor=2, mode="bilinear",
+        out = F.interpolate(out, size=x.shape[-2:], mode="bilinear",
                             align_corners=False)
         return self.head(out)
 
     def load_state(self, path: str):
-        blob = torch.load(path, map_location="cpu")
-        state = blob.get("state_dict", blob)
-        self.load_state_dict(state, strict=False)
+        _load_torch_state(self, path)
 
 
 class DIMMatting(nn.Module):
@@ -224,11 +250,7 @@ class DIMMatting(nn.Module):
         return torch.sigmoid(self.head(x))
 
     def load_state(self, path: str):
-        blob = torch.load(path, map_location="cpu")
-        state = blob.get("model", blob.get("state_dict", blob))
-        if hasattr(state, "state_dict"):
-            state = state.state_dict()
-        self.load_state_dict(state, strict=False)
+        _load_torch_state(self, path)
 
 
 def predict_mask(model: UnetMobilenetV2, image, size: int = 320):
