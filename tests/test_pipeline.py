@@ -193,3 +193,31 @@ def test_from_checkpoints_roundtrip(cfg, tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         synth.g_params, ps.g_params)
+
+
+def test_sat_alignment_degenerate_landmarks():
+    from voicepuppet_tpu.pipeline.detect import (CallableLandmarkProvider,
+                                                 sat_alignment)
+    img = np.zeros((100, 100, 3), np.float32)
+    provider = CallableLandmarkProvider(
+        lambda image: np.full((68, 2), 50.0))  # all-coincident points
+    out = sat_alignment(img, provider)
+    assert out is not None  # no crash, degenerate box clamped
+    _, _, cropped, _, cx, cy, ratio = out
+    assert cropped.shape == (224, 224, 3)
+    assert np.isfinite(ratio) and ratio > 0
+
+
+def test_identity_bgr_flag_flips_rendered_colors(cfg, demo):
+    import dataclasses as dc
+    synth, identity = demo
+    coeff = np.asarray(np.random.RandomState(7).randn(2, 257),
+                       np.float32) * 0.1
+    ref = np.zeros((S, S, 3), np.float32)
+    from voicepuppet_tpu.pipeline.synthesize import constant_background
+    bg = np.zeros((1, S, S, 3), np.float32)
+    id_rgb = identity
+    id_bgr = dc.replace(identity, colors_bgr=True)
+    f_rgb = synth.render_frames(coeff, id_rgb, ref, ref, bg)
+    f_bgr = synth.render_frames(coeff, id_bgr, ref, ref, bg)
+    assert not np.array_equal(f_rgb, f_bgr)

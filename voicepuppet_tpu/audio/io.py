@@ -21,14 +21,18 @@ from scipy import signal as _signal
 
 
 def _to_float_mono(data: np.ndarray) -> np.ndarray:
+    # rescale BEFORE the channel mean: mean() promotes integer PCM to
+    # float64 and would skip the dtype branches for multi-channel input
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
     if data.ndim > 1:
         data = data.mean(axis=1)
-    if data.dtype == np.int16:
-        return data.astype(np.float32) / 32768.0
-    if data.dtype == np.int32:
-        return data.astype(np.float32) / 2147483648.0
-    if data.dtype == np.uint8:
-        return (data.astype(np.float32) - 128.0) / 128.0
     return data.astype(np.float32)
 
 

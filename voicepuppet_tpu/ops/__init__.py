@@ -5,10 +5,15 @@ from voicepuppet_tpu.ops.raster_pallas import (render_colors_pallas,
 def render_colors_auto(vertices, colors, triangles, h: int = 224,
                        w: int = 224, bb: int = 6):
     """Backend-dispatched flat-shaded raster: the Mosaic kernel on TPU,
-    the XLA scatter formulation elsewhere (CPU tests / virtual meshes)."""
+    the XLA scatter formulation elsewhere (CPU tests / virtual meshes).
+
+    ``bb`` = expected max triangle bbox span in pixels (scale it with the
+    canvas); the Mosaic kernel's aligned row window is derived from it."""
     import jax
     if jax.default_backend() == "tpu":
-        return render_colors_pallas(vertices, colors, triangles, h=h, w=w)
+        win = max(16, -(-(bb + 7) // 8) * 8)
+        return render_colors_pallas(vertices, colors, triangles, h=h, w=w,
+                                    win=win)
     from voicepuppet_tpu.face3d.raster import render_colors
     return render_colors(vertices, colors, triangles, h=h, w=w, bb=bb)
 

@@ -39,9 +39,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEPTH_INIT = -99999.0
-# per-triangle update window: 16 rows starting at an 8-aligned origin —
-# Mosaic requires dynamic sublane slices to be provably 8-aligned, and a
-# 16-row aligned window always contains the triangle's 8-row bbox span
+# default per-triangle update window: rows start at an 8-aligned origin —
+# Mosaic requires dynamic sublane slices to be provably 8-aligned; a
+# win-row aligned window guarantees coverage of spans <= win - 7 rows
 WIN = 16
 # 256-triangle SMEM blocks: per-triangle constants are consumed as scalars,
 # and scalar reads from SMEM measured ~20% faster than VMEM (204 vs 255 ms
@@ -50,7 +50,7 @@ T_CHUNK = 256
 
 
 def _triangle_table(vertices: jax.Array, triangles: jax.Array,
-                    h: int, w: int) -> jax.Array:
+                    h: int, w: int, win: int = WIN) -> jax.Array:
     """[B, V, 3] + [F, 3] -> [B, F_pad, 16] f32 per-triangle constants:
     (p0x, p0y, v0x, v0y, v1x, v1y, dot00, dot01, dot11, inv_deno,
      flat_depth, x_min, x_max, y_min, y_max, y0w)."""
@@ -73,7 +73,7 @@ def _triangle_table(vertices: jax.Array, triangles: jax.Array,
     y_min = jnp.maximum(jnp.ceil(jnp.min(ys, -1)), 0.0)
     y_max = jnp.minimum(jnp.floor(jnp.max(ys, -1)), h - 1.0)
     # 8-aligned clamped window origin for the dynamic row slice
-    y0w = jnp.clip(jnp.floor(y_min / 8.0) * 8.0, 0.0, float(h - WIN))
+    y0w = jnp.clip(jnp.floor(y_min / 8.0) * 8.0, 0.0, float(h - win))
     table = jnp.stack([p0[..., 0], p0[..., 1], v0[..., 0], v0[..., 1],
                        v1[..., 0], v1[..., 1], dot00, dot01, dot11,
                        inv_deno, flat_depth, x_min, x_max, y_min, y_max,
@@ -89,7 +89,7 @@ def _triangle_table(vertices: jax.Array, triangles: jax.Array,
 
 
 def _raster_kernel(tri_ref, depth_ref, winner_ref, *, h: int, w: int,
-                   num_tri: int):
+                   num_tri: int, win: int):
     chunk_id = pl.program_id(1)
 
     @pl.when(chunk_id == 0)
@@ -97,9 +97,9 @@ def _raster_kernel(tri_ref, depth_ref, winner_ref, *, h: int, w: int,
         depth_ref[...] = jnp.full((h, w), DEPTH_INIT, jnp.float32)
         winner_ref[...] = jnp.full((h, w), num_tri, jnp.int32)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (WIN, w), 1).astype(
+    col = jax.lax.broadcasted_iota(jnp.int32, (win, w), 1).astype(
         jnp.float32)
-    row_off = jax.lax.broadcasted_iota(jnp.int32, (WIN, w), 0).astype(
+    row_off = jax.lax.broadcasted_iota(jnp.int32, (win, w), 0).astype(
         jnp.float32)
 
     def body(i, _):
@@ -132,34 +132,39 @@ def _raster_kernel(tri_ref, depth_ref, winner_ref, *, h: int, w: int,
         in_box = ((col >= x_min) & (col <= x_max)
                   & (rows >= y_min) & (rows <= y_max))
 
-        d_win = depth_ref[pl.ds(y0w, WIN), :]
+        d_win = depth_ref[pl.ds(y0w, win), :]
         update = inside & in_box & (flat_depth > d_win)
         # unconditional stores: a per-triangle @pl.when skip was measured
         # 1.6x SLOWER than predicated writes (branch stalls the pipeline)
-        depth_ref[pl.ds(y0w, WIN), :] = jnp.where(update, flat_depth,
+        depth_ref[pl.ds(y0w, win), :] = jnp.where(update, flat_depth,
                                                   d_win)
-        w_win = winner_ref[pl.ds(y0w, WIN), :]
-        winner_ref[pl.ds(y0w, WIN), :] = jnp.where(
+        w_win = winner_ref[pl.ds(y0w, win), :]
+        winner_ref[pl.ds(y0w, win), :] = jnp.where(
             update, jnp.int32(tri_id), w_win)
         return 0
 
     jax.lax.fori_loop(0, T_CHUNK, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "win", "interpret"))
 def rasterize_winner_pallas(vertices: jax.Array, triangles: jax.Array,
-                            h: int = 224, w: int = 224,
+                            h: int = 224, w: int = 224, win: int = WIN,
                             interpret: bool = False):
     """[B,V,3] + [F,3] -> (winner [B,h,w] int32 in [0,F], depth [B,h,w]).
 
-    ``winner == F`` marks uncovered pixels."""
+    ``winner == F`` marks uncovered pixels.  ``win`` (multiple of 8) must
+    be >= max triangle bbox height + 7; scale it with the canvas."""
+    assert win % 8 == 0 and win >= 8
     b = vertices.shape[0]
     f = triangles.shape[0]
-    table = _triangle_table(vertices.astype(jnp.float32), triangles, h, w)
+    table = _triangle_table(vertices.astype(jnp.float32), triangles, h, w,
+                            win)
     f_pad = table.shape[1]
     nc = f_pad // T_CHUNK
 
-    kernel = functools.partial(_raster_kernel, h=h, w=w, num_tri=f)
+    kernel = functools.partial(_raster_kernel, h=h, w=w, num_tri=f,
+                               win=win)
     depth, winner = pl.pallas_call(
         kernel,
         grid=(b, nc),
@@ -178,10 +183,11 @@ def rasterize_winner_pallas(vertices: jax.Array, triangles: jax.Array,
     return winner, depth
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "win", "interpret"))
 def render_colors_pallas(vertices: jax.Array, colors: jax.Array,
                          triangles: jax.Array, h: int = 224, w: int = 224,
-                         interpret: bool = False
+                         win: int = WIN, interpret: bool = False
                          ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in fast path for face3d.raster.render_colors (flat-shaded
     z-buffer, exact C++ ordering semantics).  vertices [B,V,3],
@@ -189,7 +195,7 @@ def render_colors_pallas(vertices: jax.Array, colors: jax.Array,
     b = vertices.shape[0]
     f = triangles.shape[0]
     winner, _ = rasterize_winner_pallas(vertices, triangles, h, w,
-                                        interpret=interpret)
+                                        win=win, interpret=interpret)
     tri_colors = colors[:, triangles, :]
     color_sum = jnp.sum(jnp.floor(tri_colors), axis=2)
     flat_color = jnp.floor(color_sum / 3.0)

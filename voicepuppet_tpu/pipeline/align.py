@@ -91,7 +91,9 @@ def align_for_identity(img: np.ndarray, lmk5: np.ndarray,
     left = int(w / 2 - 112)
     up = int(h / 2 - 112)
     pil = pil.crop((left, up, left + 224, up + 224))
-    aligned = np.asarray(pil)[None].astype(np.float32)
+    # channel reversal: the pretrained R-Net consumes BGR-ordered crops
+    # (the reference flips with img[:, :, ::-1]; bfm_load_data.py:189)
+    aligned = np.asarray(pil)[None, ..., ::-1].astype(np.float32)
     trans_params = np.array([w0, h0, 102.0 / s,
                              float(t[0]) - w0 / 2, h0 / 2 - float(t[1])])
     return aligned, trans_params

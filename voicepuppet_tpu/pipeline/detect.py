@@ -117,16 +117,20 @@ def sat_alignment(image: np.ndarray, provider: LandmarkProvider,
         return None
     lmk = np.asarray(lmk, np.float64)
 
-    # landmark bbox, expanded like the detector box then the final crop
+    # landmark bbox expanded like the detector box (x box_expand), then the
+    # final analysis crop expands that box again by crop_expand
     x0, y0 = lmk.min(0)
     x1, y1 = lmk.max(0)
     x0, y0, x1, y1 = _expand_box(x0, y0, x1, y1, box_expand, w, h)
-    bx0, by0, bx1, by1 = _expand_box(x0, y0, x1, y1,
-                                     crop_expand / box_expand * 1.5, w, h)
+    bx0, by0, bx1, by1 = _expand_box(x0, y0, x1, y1, crop_expand, w, h)
+    # guard degenerate boxes (coincident landmarks / truncation collapse)
+    bx1 = min(max(bx1, bx0 + 1), w) if bx1 > bx0 else min(bx0 + 1, w)
+    by1 = min(max(by1, by0 + 1), h) if by1 > by0 else min(by0 + 1, h)
+    bx0 = min(bx0, bx1 - 1)
+    by0 = min(by0, by1 - 1)
     center_x = (bx0 + bx1) // 2
     center_y = (by0 + by1) // 2
-    crop_w = max(bx1 - bx0, 1)
-    ratio = out_size / float(crop_w)
+    ratio = out_size / float(bx1 - bx0)
 
     img_u8 = (np.clip(image * 255.0, 0, 255).astype(np.uint8)
               if image.dtype != np.uint8 else image)

@@ -42,10 +42,10 @@ def render_coeff_video_frames(coeff_seq: np.ndarray, face_model,
     """[T,257] -> [T,img_size,img_size,3] uint8 rendered mesh frames with
     the sweeping-yaw pose (ref: infer_bfmnet.py:203-235).
 
-    Divergence note: the reference advances a yaw angle but passes it only
-    into a Reconstruction call that ignores it (the sweep shows because the
-    angles live in the coeff); here the yaw is applied to the coeff pose
-    dims so the sweep is explicit."""
+    Divergence note: the reference advances a yaw angle but never passes
+    it into its Reconstruction call (infer_bfmnet.py:204-211 — the sweep
+    is dead code there); here reconstruct_rotation applies the yaw to the
+    shape itself so the head actually sweeps."""
     import jax.numpy as jnp
     from voicepuppet_tpu.face3d import morph
     from voicepuppet_tpu.ops import render_colors_auto
@@ -60,24 +60,28 @@ def render_coeff_video_frames(coeff_seq: np.ndarray, face_model,
         if a > yaw_bound or a < -yaw_bound:
             s = -s
         yaw[i] = a
-    coeffs[:, 225] = yaw
 
+    scale = img_size / 224.0
+    # triangle bbox spans scale with the canvas; size the raster window
+    bb = max(6, int(np.ceil(7 * scale)))
     frames = np.zeros((t, img_size, img_size, 3), np.uint8)
     for start in range(0, t, chunk):
         n = min(chunk, t - start)
         c = np.zeros((chunk, 257), np.float32)
         c[:n] = coeffs[start:start + n]
-        rec = morph.reconstruct(jnp.asarray(c), fm)
+        ang = np.zeros((chunk, 3), np.float32)
+        ang[:n, 1] = yaw[start:start + n]
+        rec = morph.reconstruct_rotation(jnp.asarray(c), fm,
+                                         jnp.asarray(ang))
         # shape[:, :2] = 112 - xy*112, scaled to the canvas (the reference
         # hardcodes x3 for its 672 canvas; infer_bfmnet.py:218-221)
-        scale = img_size / 224.0
         shape = rec.face_shape
         xy = (112.0 - shape[..., :2] * 112.0) * scale
         z = shape[..., 2:3] * scale
         verts = jnp.concatenate([xy, z], axis=-1)
         colors = jnp.floor(jnp.clip(rec.face_color, 0.0, 255.0))
         imgs, _ = render_colors_auto(verts, colors, fm.tri,
-                                     h=img_size, w=img_size)
+                                     h=img_size, w=img_size, bb=bb)
         frames[start:start + n] = np.asarray(imgs[:n])
     return frames
 

@@ -51,6 +51,11 @@ class Identity:
     center_x: int
     center_y: int
     ratio: float
+    # True when bfmcoeff came from the real Deep3DFace R-Net, which is
+    # trained on BGR crops: the rasterized colors then need a channel flip
+    # to match the RGB panels (the reference does cv2 BGR2RGB on the
+    # rendered face; infer_bfmvid.py:111)
+    colors_bgr: bool = False
 
 
 def synthetic_identity(face_model, seed: int = 0,
@@ -140,11 +145,12 @@ class Synthesizer:
         ear = (np.random.RandomState(rng_seed)
                .rand(1, t, 1).astype(np.float32) / 100.0)
         seq_len = np.asarray([t], np.int32)
-        return self._coeff_program(jnp.asarray(pcm), jnp.asarray(ear),
-                                   jnp.asarray(seq_len))
+        return self._coeff_prog(jnp.asarray(pcm), jnp.asarray(ear),
+                                jnp.asarray(seq_len))
 
     # ---- program 2: coeffs -> frames (chunked) ----
-    def _make_frame_program(self, out_hw: int, paste):
+    def _make_frame_program(self, out_hw: int, paste,
+                            colors_bgr: bool = False):
         (ty0, ty1, tx0, tx1), (sy0, sy1, sx0, sx1) = paste
         rs = self.raster_size
         s = self.img_size
@@ -162,6 +168,8 @@ class Synthesizer:
             verts = jnp.concatenate([rec.face_projection, rec.z_buffer],
                                     axis=-1)
             colors = jnp.floor(jnp.clip(rec.face_color, 0.0, 255.0))
+            if colors_bgr:
+                colors = colors[..., ::-1]
             from voicepuppet_tpu.ops import render_colors_auto
             img224, _ = render_colors_auto(verts, colors, self.fm.tri,
                                            h=rs, w=rs, bb=self.raster_bb)
@@ -210,10 +218,10 @@ class Synthesizer:
         out_hw = int(round(self.raster_size / ratio_total))
         paste = _paste_geometry(out_hw, identity.center_x,
                                 identity.center_y, tx, ty, self.img_size)
-        key = (out_hw, paste)
+        key = (out_hw, paste, identity.colors_bgr)
         if key not in self._frame_prog_cache:
-            self._frame_prog_cache[key] = self._make_frame_program(out_hw,
-                                                                   paste)
+            self._frame_prog_cache[key] = self._make_frame_program(
+                out_hw, paste, identity.colors_bgr)
         prog = self._frame_prog_cache[key]
 
         if angles is None:
@@ -242,7 +250,7 @@ class Synthesizer:
 
         frames = np.zeros((t, self.img_size, self.img_size, 3), np.uint8)
         c = self.chunk
-        outs = []
+        pending = None  # one-chunk lag bounds device memory to 2 chunks
         for start in range(0, t, c):
             n = min(c, t - start)
             coeff_c = np.zeros((c, 257), np.float32)
@@ -254,15 +262,20 @@ class Synthesizer:
             out, _, _ = prog(self.g_params, jnp.asarray(coeff_c),
                              jnp.asarray(ang_c), bg_pool,
                              jnp.asarray(idx_c), face3d_ref, fg_ref)
-            # async dispatch + early D2H: the transfer of chunk k overlaps
-            # the compute of chunk k+1
+            # async dispatch + early D2H: chunk k's transfer overlaps
+            # chunk k+1's compute; draining with a one-chunk lag keeps at
+            # most two chunks of frames alive in HBM
             try:
                 out.copy_to_host_async()
             except Exception:
                 pass
-            outs.append((start, n, out))
-        for start, n, out in outs:
-            frames[start:start + n] = np.asarray(out[:n])
+            if pending is not None:
+                p_start, p_n, p_out = pending
+                frames[p_start:p_start + p_n] = np.asarray(p_out[:p_n])
+            pending = (start, n, out)
+        if pending is not None:
+            p_start, p_n, p_out = pending
+            frames[p_start:p_start + p_n] = np.asarray(p_out[:p_n])
         return frames
 
     # ---- the full contract ----
@@ -423,7 +436,8 @@ def main(argv=None):
                             transform_params=blob["transform_params"],
                             center_x=int(blob["center_x"]),
                             center_y=int(blob["center_y"]),
-                            ratio=float(blob["ratio"]))
+                            ratio=float(blob["ratio"]),
+                            colors_bgr=bool(blob.get("colors_bgr", True)))
     bgs = cycling_backgrounds(args.background_dir, cfg.pixrefer.img_size)
     frames = synth.synthesize(args.image, args.audio, identity,
                               backgrounds=bgs, out_dir=args.out_dir)
