@@ -101,6 +101,25 @@ def split_silence(pcm: np.ndarray, top_db: float = 20.0,
 # clip sources
 # --------------------------------------------------------------------------
 
+
+def _shuffled_pass(source, rng: random.Random):
+    """One lazily-shuffled pass over a clip source."""
+    if hasattr(source, "shuffled"):
+        return source.shuffled(rng)
+    clips = list(source)
+    rng.shuffle(clips)
+    return iter(clips)
+
+
+def _load_frame(clip, idx):
+    """Fetch panel frame ``idx`` from an in-memory or on-disk clip."""
+    if "images" in clip:
+        return np.asarray(clip["images"][idx], np.float32)
+    from voicepuppet_tpu.data.loaders import load_image
+    return load_image(clip["image_paths"][idx])
+
+
+
 class ArraySource:
     """In-memory clips: list of dicts with keys among
     {'bfmcoeff' [T,257], 'landmark' [T,136], 'pcm' [S], 'images' [T,H,3W,3],
@@ -111,6 +130,11 @@ class ArraySource:
 
     def __iter__(self):
         return iter(self.clips)
+
+    def shuffled(self, rng: random.Random):
+        order = list(self.clips)
+        rng.shuffle(order)
+        return iter(order)
 
 
 class FileSource:
@@ -126,12 +150,23 @@ class FileSource:
                             if line.strip()]
 
     def __iter__(self):
+        return self._iter_entries(self.entries)
+
+    def shuffled(self, rng: random.Random):
+        """Lazy shuffled pass: shuffles clip ORDER only — clips load one at
+        a time (materializing the whole dataset per epoch would hold every
+        waveform/coeff array in host RAM simultaneously)."""
+        order = list(self.entries)
+        rng.shuffle(order)
+        return self._iter_entries(order)
+
+    def _iter_entries(self, entries):
         from voicepuppet_tpu.audio.io import load_audio
         from voicepuppet_tpu.data.loaders import (load_image,
                                                   load_landmarks,
                                                   load_text_array)
         d = self.cfg.dataset
-        for folder, count in self.entries:
+        for folder, count in entries:
             count = int(count)
             clip: Dict[str, np.ndarray] = {"frame_count": count}
             bfm_path = os.path.join(folder, d.bfmcoeff_name)
@@ -166,10 +201,7 @@ class BFMNetSampleStream:
         cfg = self.cfg
         t = cfg.dataset.fixed_sequence_len  # 24 (generator.py:460)
         while True:
-            clips = list(self.source)
-            self.rng.shuffle(clips)
-            if not clips:
-                return
+            clips = _shuffled_pass(self.source, self.rng)
             yielded = False
             for clip in clips:
                 if not all(k in clip for k in ("bfmcoeff", "landmark",
@@ -325,19 +357,19 @@ class PixReferSampleStream:
         self.rng = random.Random(seed)
 
     def _load_frame(self, clip, idx):
-        if "images" in clip:
-            return np.asarray(clip["images"][idx], np.float32)
-        from voicepuppet_tpu.data.loaders import load_image
-        return load_image(clip["image_paths"][idx])
+        return _load_frame(clip, idx)
 
-    def __iter__(self):
-        cfg = self.cfg
-        s = cfg.pixrefer.img_size
+    def _model_cfg(self):
+        return self.cfg.pixrefer
+
+    def _pairs(self):
+        """Shared (reference, current)-panel pairing + crop aug: yields
+        (inputs [S,S,6] render ref⊕cur, fg_inputs [S,S,6] fg ref⊕cur,
+        targets [2,S,S,3], masks [2,S,S,3]) forever."""
+        mcfg = self._model_cfg()
+        s = mcfg.img_size
         while True:
-            clips = list(self.source)
-            self.rng.shuffle(clips)
-            if not clips:
-                return
+            clips = _shuffled_pass(self.source, self.rng)
             yielded = False
             for clip in clips:
                 n = clip.get("frame_count",
@@ -348,25 +380,28 @@ class PixReferSampleStream:
                 for i in range(n):
                     rnd = self.rng.randrange(n)
                     ref = _split_panels(self._load_frame(clip, rnd), s)
-                    ref = _random_crop_resize(ref, cfg.pixrefer.crop_ratio,
+                    ref = _random_crop_resize(ref, mcfg.crop_ratio,
                                               self.rng)
                     cur = _split_panels(self._load_frame(clip, i), s)
-                    cur = _random_crop_resize(cur, cfg.pixrefer.crop_ratio,
+                    cur = _random_crop_resize(cur, mcfg.crop_ratio,
                                               self.rng)
                     pair = np.stack([ref, cur])           # [2, S, S, 9]
                     inputs = np.concatenate([pair[0, :, :, 3:6],
                                              pair[1, :, :, 3:6]], axis=-1)
                     targets = pair[:, :, :, 0:3]
                     masks = pair[:, :, :, 6:9]
-                    fg = targets * masks
-                    fg_inputs = np.concatenate([fg[0], fg[1]], axis=-1)
-                    yield (inputs.astype(np.float32),
-                           fg_inputs.astype(np.float32),
-                           targets[1].astype(np.float32),
-                           masks[1].astype(np.float32))
+                    yield (inputs.astype(np.float32), targets, masks)
                     yielded = True
             if not yielded:
                 return
+
+    def __iter__(self):
+        for inputs, targets, masks in self._pairs():
+            fg = targets * masks
+            fg_inputs = np.concatenate([fg[0], fg[1]], axis=-1)
+            yield (inputs, fg_inputs.astype(np.float32),
+                   targets[1].astype(np.float32),
+                   masks[1].astype(np.float32))
 
 
 class PixReferBatcher:
@@ -394,45 +429,19 @@ class PixReferBatcher:
 
 class PixFlowSampleStream(PixReferSampleStream):
     """PixFlow pairing (ref: generator.py:837-902): same random-reference +
-    crop aug as PixRefer, but yields (inputs [S,S,6] render ref⊕cur,
-    fg_inputs [S,S,6] fg ref⊕cur, masks [S,S,3] current alpha)."""
+    crop aug as PixRefer (shared ``_pairs``), but yields
+    (inputs [S,S,6] render ref⊕cur, fg_inputs [S,S,6] fg ref⊕cur,
+    masks [S,S,3] current alpha)."""
+
+    def _model_cfg(self):
+        return self.cfg.pixflow
 
     def __iter__(self):
-        cfg = self.cfg
-        s = cfg.pixflow.img_size
-        while True:
-            clips = list(self.source)
-            self.rng.shuffle(clips)
-            if not clips:
-                return
-            yielded = False
-            for clip in clips:
-                n = clip.get("frame_count",
-                             len(clip.get("images",
-                                          clip.get("image_paths", []))))
-                if n <= 0:
-                    continue
-                for i in range(n):
-                    rnd = self.rng.randrange(n)
-                    ref = _split_panels(self._load_frame(clip, rnd), s)
-                    ref = _random_crop_resize(ref, cfg.pixflow.crop_ratio,
-                                              self.rng)
-                    cur = _split_panels(self._load_frame(clip, i), s)
-                    cur = _random_crop_resize(cur, cfg.pixflow.crop_ratio,
-                                              self.rng)
-                    pair = np.stack([ref, cur])
-                    inputs = np.concatenate([pair[0, :, :, 3:6],
-                                             pair[1, :, :, 3:6]], axis=-1)
-                    targets = pair[:, :, :, 0:3]
-                    masks = pair[:, :, :, 6:9]
-                    fg = targets * masks
-                    fg_inputs = np.concatenate([fg[0], fg[1]], axis=-1)
-                    yield (inputs.astype(np.float32),
-                           fg_inputs.astype(np.float32),
-                           masks[1].astype(np.float32))
-                    yielded = True
-            if not yielded:
-                return
+        for inputs, targets, masks in self._pairs():
+            fg = targets * masks
+            fg_inputs = np.concatenate([fg[0], fg[1]], axis=-1)
+            yield (inputs, fg_inputs.astype(np.float32),
+                   masks[1].astype(np.float32))
 
 
 class PixFlowBatcher:
@@ -475,10 +484,7 @@ class Pix2PixSampleStream:
         seq_len = 20  # ref: generator.py:527
         loader = PixReferSampleStream(cfg, self.source, 0)
         while True:
-            clips = list(self.source)
-            self.rng.shuffle(clips)
-            if not clips:
-                return
+            clips = _shuffled_pass(self.source, self.rng)
             yielded = False
             for clip in clips:
                 n = clip.get("frame_count",
@@ -488,8 +494,7 @@ class Pix2PixSampleStream:
                 for _ in range(n // seq_len):
                     frames = []
                     for _ in range(seq_len):
-                        img = _split_panels(loader._load_frame(clip, index),
-                                            s)
+                        img = _split_panels(_load_frame(clip, index), s)
                         img = _random_crop_resize(
                             img, cfg.pixrefer.crop_ratio, self.rng)
                         frames.append(img)
@@ -620,10 +625,7 @@ class ATNetSampleStream:
         t = 25  # generator.py:212
         pcm_len = cfg.pcm_length_for_frames(t)
         while True:
-            clips = list(self.source)
-            self.rng.shuffle(clips)
-            if not clips:
-                return
+            clips = _shuffled_pass(self.source, self.rng)
             yielded = False
             for clip in clips:
                 if not all(k in clip for k in ("bfmcoeff", "landmark",
@@ -720,10 +722,7 @@ class VGNetSampleStream:
         s = self.cfg.vgnet.img_size
         t = 15  # generator.py:344
         while True:
-            clips = list(self.source)
-            self.rng.shuffle(clips)
-            if not clips:
-                return
+            clips = _shuffled_pass(self.source, self.rng)
             yielded = False
             for clip in clips:
                 if "landmark" not in clip:
@@ -802,10 +801,7 @@ class Audio2ExpSampleStream:
         # DeepSpeech features come at stride 2 over 10ms hops -> 50 fps
         feature_rate = cfg.mel.sample_rate / cfg.mel.hop_step / 2.0
         while True:
-            clips = list(self.source)
-            self.rng.shuffle(clips)
-            if not clips:
-                return
+            clips = _shuffled_pass(self.source, self.rng)
             yielded = False
             for clip in clips:
                 if "bfmcoeff" not in clip or "pcm" not in clip:

@@ -149,12 +149,16 @@ class MfccNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         act = self.activation
+        # the bfmnet variant's stem/head conv uses plain relu even though
+        # blocks use relu6 (bfmnet/tinynet.py:26); the atvgnet variant
+        # applies its elu everywhere (atvgnet/tinynet.py:26)
+        stem_act = nn.relu if act is nn.relu6 else act
         w = lambda f: max(8, int(f * self.width_mult))
         wd = self.widths
         ir = lambda f, e=6: InvertedResidual(w(f), (1, 1), e,
                                              activation=act,
                                              bn_axis=self.bn_axis)
-        x = ConvBN(w(wd[0]), (9, 5), (1, 2),
+        x = ConvBN(w(wd[0]), (9, 5), (1, 2), activation=stem_act,
                    bn_axis=self.bn_axis)(x, train)              # block0_0
         x = ir(wd[1], 1)(x, train)                               # block1_0
         x = ir(wd[2])(x, train)                                  # block2_0
@@ -178,6 +182,7 @@ class MfccNet(nn.Module):
         x = ir(wd[6])(x, train)                                  # block6_2
         x = ir(wd[7])(x, train)                                  # block7_0
         x = ConvBN(self.output_channels, (1, 1), (1, 1),
+                   activation=stem_act,
                    bn_axis=self.bn_axis)(x, train)               # block8_0
         return x
 
@@ -203,12 +208,14 @@ class ThinNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         act = self.activation
+        stem_act = nn.relu if act is nn.relu6 else act
         w = lambda f: max(8, int(f * self.width_mult))
         wd = self.widths
         ir = lambda f, e=6: InvertedResidual(w(f), (1, 1), e,
                                              activation=act,
                                              bn_axis=self.bn_axis)
         x = ConvBN(w(wd[0]), (3, 3), self.stem_stride,
+                   activation=stem_act,
                    bn_axis=self.bn_axis)(x, train)
         x = ir(wd[1], 1)(x, train)
         for f, reps in ((wd[2], 2), (wd[3], 3), (wd[4], 4), (wd[5], 3),
@@ -217,6 +224,7 @@ class ThinNet(nn.Module):
                 x = ir(f)(x, train)
         x = ir(wd[7])(x, train)
         x = ConvBN(self.output_channels, (1, 1), (1, 1),
+                   activation=stem_act,
                    bn_axis=self.bn_axis)(x, train)
         return x
 

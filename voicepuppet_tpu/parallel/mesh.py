@@ -62,12 +62,12 @@ def data_parallel_step(step_fn: Callable, mesh: Mesh,
                        data_axis: str = "data",
                        donate_state: bool = True) -> Callable:
     """Wrap ``step_fn(state, batch, rng) -> (state, metrics)`` into a jitted
-    shard_map program: batch sharded over ``data_axis``, state replicated,
-    gradients reduced inside ``step_fn`` via :func:`pmean_gradients`.
+    shard_map program: batch sharded over ``data_axis``, state replicated.
 
-    ``step_fn`` runs *inside* the mapped region, so it must call
-    ``pmean_gradients(grads)`` (or ``lax.pmean(..., axis_name='data')``)
-    before applying updates — this is where the ICI all-reduce happens.
+    ``step_fn`` runs *inside* the mapped region.  The correct reduction
+    idiom under VMA-tracked shard_map is to ``lax.pmean`` the LOSS inside
+    the differentiated function — autodiff then inserts the gradient psum;
+    do NOT also pmean the gradients (that double-reduces).
     """
 
     # check_vma=True is load-bearing: varying-manual-axes tracking is what
@@ -86,10 +86,7 @@ def data_parallel_step(step_fn: Callable, mesh: Mesh,
     return jax.jit(mapped, donate_argnums=(0,) if donate_state else ())
 
 
-def pmean_gradients(grads: Any, data_axis: str = "data") -> Any:
-    """All-reduce gradients over the data axis (ICI psum/size)."""
-    return jax.lax.pmean(grads, axis_name=data_axis)
-
-
-def psum_metric(x: jax.Array, data_axis: str = "data") -> jax.Array:
+def pmean_metric(x: Any, data_axis: str = "data") -> Any:
+    """Average a per-shard metric over the data axis (for values NOT
+    already reduced through the loss-pmean autodiff path)."""
     return jax.lax.pmean(x, axis_name=data_axis)

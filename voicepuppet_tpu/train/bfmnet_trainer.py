@@ -26,7 +26,7 @@ from voicepuppet_tpu.models.bfmnet import (BFMNet, BFMNetLoss,
                                            make_mouth_mask)
 from voicepuppet_tpu.models.layers import l2_regularization
 from voicepuppet_tpu.parallel.mesh import (data_parallel_step, make_mesh,
-                                           pmean_gradients, shard_batch)
+                                           shard_batch)
 from voicepuppet_tpu.train.optim import bfmnet_optimizer
 from voicepuppet_tpu.train.state import TrainState
 

@@ -57,6 +57,9 @@ class PixFlowTrainer:
         cfg = self.cfg.pixflow
 
         def step(state: GANTrainState, batch, rng):
+            # per-shard dropout masks (mesh.py data_parallel_step does the
+            # same; hand-rolled shard_maps must fold the axis index too)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
             inputs, fg_inputs, masks = batch
             inputs_p = px.preprocess(inputs)
             fg_p = px.preprocess(fg_inputs)

@@ -26,6 +26,7 @@ from typing import Any, Iterator, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import PartitionSpec as P
 
 from voicepuppet_tpu.config import Config
@@ -76,6 +77,8 @@ class PixReferTrainer:
         cfg = self.cfg.pixrefer
 
         def step(state: GANTrainState, batch, vgg_params, rng):
+            # rng is kept for step-signature uniformity; PixReferNet has no
+            # stochastic layers (the reference's dropout-free pix2pix)
             inputs, fg_inputs, targets, masks = batch
             inputs_p = px.preprocess(inputs)
             fg_p = px.preprocess(fg_inputs)
@@ -100,7 +103,6 @@ class PixReferTrainer:
             d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
             d_updates, d_opt_state = state.d_tx.update(
                 d_grads, state.d_opt_state, state.d_params)
-            import optax
             new_d_params = optax.apply_updates(state.d_params, d_updates)
 
             # G step against the UPDATED discriminator (reference ordering)
@@ -121,8 +123,7 @@ class PixReferTrainer:
                 g_loss_fn, has_aux=True)(state.g_params)
             g_updates, g_opt_state = state.g_tx.update(
                 g_grads, state.g_opt_state, state.g_params)
-            import optax as _optax
-            new_g_params = _optax.apply_updates(state.g_params, g_updates)
+            new_g_params = optax.apply_updates(state.g_params, g_updates)
 
             state = state.replace(step=state.step + 2,
                                   g_params=new_g_params,

@@ -66,17 +66,6 @@ class GANTrainState:
                    d_params=d_params, batch_stats=batch_stats,
                    g_opt_state=g_tx.init(g_params),
                    d_opt_state=d_tx.init(d_params), g_tx=g_tx, d_tx=d_tx)
-
-    def apply_gan_gradients(self, g_grads, d_grads, batch_stats=None):
-        d_updates, d_opt_state = self.d_tx.update(d_grads, self.d_opt_state,
-                                                  self.d_params)
-        d_params = optax.apply_updates(self.d_params, d_updates)
-        g_updates, g_opt_state = self.g_tx.update(g_grads, self.g_opt_state,
-                                                  self.g_params)
-        g_params = optax.apply_updates(self.g_params, g_updates)
-        return self.replace(step=self.step + 2, g_params=g_params,
-                            d_params=d_params, g_opt_state=g_opt_state,
-                            d_opt_state=d_opt_state,
-                            batch_stats=(self.batch_stats
-                                         if batch_stats is None
-                                         else batch_stats))
+    # NOTE: updates are applied inside each GAN trainer's step (D first,
+    # then G against the UPDATED D) — a combined apply-gradients helper
+    # here would get the ordering wrong.

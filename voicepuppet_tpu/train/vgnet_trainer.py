@@ -65,6 +65,7 @@ class VGNetTrainer:
 
     def _build_step(self, train_d: bool):
         def step(state: GANTrainState, batch, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
             (lmk_seq, mask_seq, img_seq, ex_lmk, ex_img, seq_len) = batch
             g_stats = state.batch_stats["g"]
             d_stats = state.batch_stats["d"]
