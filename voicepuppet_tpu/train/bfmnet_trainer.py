@@ -185,7 +185,9 @@ def main(argv=None):
         plot_bfm_coeff_seq(eval_dir, step, coeff, pred, face_model)
 
     steps = args.steps if args.steps is not None else tcfg.epochs
-    trainer.fit(state, iter(batcher), steps, iter(eval_batcher), logger,
+    from voicepuppet_tpu.data.generators import prefetch_to_device
+    batches = prefetch_to_device(iter(batcher), trainer.mesh)
+    trainer.fit(state, batches, steps, iter(eval_batcher), logger,
                 ckpt, eval_hook=eval_hook)
 
 

@@ -169,7 +169,9 @@ def main(argv=None):
     src = FileSource(cfg.dataset.train_dataset_path, cfg, load_images=True)
     batcher = PixFlowBatcher(cfg, src)
     steps = args.steps if args.steps is not None else tcfg.epochs
-    trainer.fit(state, iter(batcher), steps, logger, ckpt)
+    from voicepuppet_tpu.data.generators import prefetch_to_device
+    batches = prefetch_to_device(iter(batcher), trainer.mesh)
+    trainer.fit(state, batches, steps, logger, ckpt)
 
 
 if __name__ == "__main__":
