@@ -252,3 +252,41 @@ def test_unet_resnet_forward():
     with torch.no_grad():
         y = m(torch.rand(1, 3, 64, 64))
     assert tuple(y.shape) == (1, 1, 64, 64)
+
+
+def test_pixrefer_checkpoint_mapping_roundtrip(tmp_path):
+    """PixRefer generator+discriminator TF-name mapping round-trips:
+    every mapped leaf is covered, shapes agree, transposes invert."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from voicepuppet_tpu.config import Config
+    from voicepuppet_tpu.models import pixrefer as px
+    from voicepuppet_tpu.tools import tf_checkpoint as tfc
+
+    cfg = dataclasses.replace(Config().pixrefer, ngf=4, ndf=4)
+    g = px.PixReferNet(cfg)
+    gv = g.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 6)),
+                jnp.zeros((1, 256, 256, 6)), jnp.zeros((1, 256, 256, 3)))
+    rows = tfc.pixrefer_generator_name_map()
+    path = str(tmp_path / "g.npz")
+    tfc.export_npz(gv, rows, path)
+    out, loaded, missing = tfc.load_npz(path, gv, rows)
+    assert not missing, missing[:4]
+    # every generator param leaf is covered by the mapping
+    n_leaves = len(jax.tree_util.tree_leaves(gv["params"]))
+    assert len(loaded) == n_leaves
+    for tf_name, coll, p, tr in rows:
+        np.testing.assert_array_equal(
+            np.asarray(tfc._get(out[coll], p)),
+            np.asarray(tfc._get(gv[coll], p)))
+
+    d = px.Discriminator(4)
+    dv = d.init(jax.random.PRNGKey(1), jnp.zeros((1, 256, 256, 3)),
+                jnp.zeros((1, 256, 256, 3)))
+    drows = tfc.pixrefer_discriminator_name_map()
+    dpath = str(tmp_path / "d.npz")
+    tfc.export_npz(dv, drows, dpath)
+    out, loaded, missing = tfc.load_npz(dpath, dv, drows)
+    assert not missing
+    assert len(loaded) == len(jax.tree_util.tree_leaves(dv["params"]))

@@ -223,3 +223,118 @@ def _deep_mutable(tree):
     if isinstance(tree, dict) or hasattr(tree, "items"):
         return {k: _deep_mutable(v) for k, v in tree.items()}
     return tree
+
+
+def _deconv(x: np.ndarray) -> np.ndarray:
+    # TF conv2d_transpose kernel [H, W, out, in] -> flax ConvTranspose
+    # [H, W, in, out]
+    return np.transpose(x, (0, 1, 3, 2))
+
+
+def pixrefer_generator_name_map():
+    """(tf_name, collection, flax_path, transform) rows for the PixRefer
+    generator (scopes from pixrefer.py:166-277; our flax modules carry the
+    same scope names, and the anonymous StatelessBatchNorm_{i} numbering
+    follows creation order: encoder_2..4, encoder_fg_2..4,
+    merged_encoder_2..5, merged_decoder_5..2, merged2_decoder_4..2).
+
+    The reference's batch-norm moving statistics are dropped: it always
+    normalizes with batch moments (training=True, pixrefer.py:99-101), so
+    the moving averages are dead state."""
+    g = ("generator",)
+    rows: List = []
+    bn_i = 0
+
+    def conv(scope, kind="conv2d"):
+        transform = _deconv if kind == "conv2d_transpose" else None
+        flax_layer = ("Conv_0" if kind == "conv2d"
+                      else "ConvTranspose_0")
+        rows.append((f"generator/{scope}/{kind}/kernel", "params",
+                     g + (scope, flax_layer, "kernel"), transform))
+        rows.append((f"generator/{scope}/{kind}/bias", "params",
+                     g + (scope, flax_layer, "bias"), None))
+
+    def bn(scope):
+        nonlocal bn_i
+        base = f"generator/{scope}/batch_normalization"
+        rows.append((f"{base}/gamma", "params",
+                     g + (f"StatelessBatchNorm_{bn_i}", "scale"), None))
+        rows.append((f"{base}/beta", "params",
+                     g + (f"StatelessBatchNorm_{bn_i}", "bias"), None))
+        bn_i += 1
+
+    conv("encoder_1")
+    for i in (2, 3, 4):
+        conv(f"encoder_{i}")
+        bn(f"encoder_{i}")
+    conv("encoder_fg_1")
+    for i in (2, 3, 4):
+        conv(f"encoder_fg_{i}")
+        bn(f"encoder_fg_{i}")
+    for i in (2, 3, 4, 5):
+        conv(f"merged_encoder_{i}")
+        bn(f"merged_encoder_{i}")
+    for i in (5, 4, 3, 2):  # creation order (pixrefer.py:233-248)
+        conv(f"merged_decoder_{i}", "conv2d_transpose")
+        bn(f"merged_decoder_{i}")
+    for i in (4, 3, 2):     # creation order (pixrefer.py:257-267)
+        conv(f"merged2_decoder_{i}", "conv2d_transpose")
+        bn(f"merged2_decoder_{i}")
+    conv("decoder_1", "conv2d_transpose")
+    return rows
+
+
+def pixrefer_discriminator_name_map():
+    """Rows for the PatchGAN discriminator (pixrefer.py:103-134)."""
+    rows: List = []
+    bn_i = 0
+    for i in range(1, 6):
+        rows.append((f"discriminator/layer_{i}/conv2d/kernel", "params",
+                     (f"layer_{i}", "Conv_0", "kernel"), None))
+        rows.append((f"discriminator/layer_{i}/conv2d/bias", "params",
+                     (f"layer_{i}", "Conv_0", "bias"), None))
+        if i in (2, 3, 4):
+            base = f"discriminator/layer_{i}/batch_normalization"
+            rows.append((f"{base}/gamma", "params",
+                         (f"StatelessBatchNorm_{bn_i}", "scale"), None))
+            rows.append((f"{base}/beta", "params",
+                         (f"StatelessBatchNorm_{bn_i}", "bias"), None))
+            bn_i += 1
+    return rows
+
+
+def export_npz(variables, rows, path: str):
+    """Generic flax-tree -> TF-named npz export for a mapping row set."""
+    blob: Dict[str, np.ndarray] = {}
+    for tf_name, coll, path_, transform in rows:
+        val = _get(variables[coll], path_) if coll in variables else None
+        if val is None:
+            continue
+        val = np.asarray(val)
+        if transform is not None:
+            val = transform(val)  # both transforms are involutions
+        blob[tf_name.replace("/", "|")] = val
+    np.savez(path, **blob)
+
+
+def load_npz(path: str, variables, rows):
+    """Generic TF-named npz -> flax-tree overlay for a mapping row set.
+    Returns (new_variables, loaded, missing)."""
+    blob = np.load(path)
+    available = {k.replace("|", "/"): blob[k] for k in blob.files}
+    out = {k: _deep_mutable(v) for k, v in dict(variables).items()}
+    loaded, missing = [], []
+    for tf_name, coll, path_, transform in rows:
+        if tf_name not in available or coll not in variables:
+            missing.append(tf_name)
+            continue
+        val = available[tf_name]
+        if transform is not None:
+            val = transform(val)
+        target = _get(variables[coll], path_)
+        if target is None or np.shape(target) != np.shape(val):
+            missing.append(tf_name)
+            continue
+        _set(out[coll], path_, np.asarray(val, np.float32))
+        loaded.append(tf_name)
+    return out, loaded, missing
