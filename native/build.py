@@ -8,20 +8,36 @@ in this image).  ``ensure_built()`` compiles on first use and caches the
 
 from __future__ import annotations
 
+import hashlib
 import os
 import subprocess
 
 _THIS_DIR = os.path.dirname(os.path.abspath(__file__))
 SRC = os.path.join(_THIS_DIR, "vp_raster.cpp")
 LIB = os.path.join(_THIS_DIR, "libvp_raster.so")
+STAMP = LIB + ".srchash"
+
+
+def _src_hash() -> str:
+    with open(SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def ensure_built(force: bool = False) -> str:
-    if force or not os.path.exists(LIB) or (
-            os.path.getmtime(SRC) > os.path.getmtime(LIB)):
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-               "-std=c++17", SRC, "-o", LIB]
+    """Build if missing or the source content changed (content hash, not
+    mtime — git checkouts reset mtimes).  No -march=native: the .so may be
+    copied between hosts; -O3 generic keeps it portable."""
+    h = _src_hash()
+    stale = True
+    if not force and os.path.exists(LIB) and os.path.exists(STAMP):
+        with open(STAMP) as f:
+            stale = f.read().strip() != h
+    if stale or force or not os.path.exists(LIB):
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", SRC,
+               "-o", LIB]
         subprocess.run(cmd, check=True)
+        with open(STAMP, "w") as f:
+            f.write(h)
     return LIB
 
 

@@ -45,3 +45,34 @@ default: &DEFAULT
 
 def test_config_is_hashable_for_jit_closure():
     hash(Config())
+
+
+def test_yaml_training_block_distributes_to_models(tmp_path):
+    """The shared ``training:`` block reaches per-model training configs
+    for non-pinned fields; model-pinned fields (e.g. BFMNet's lr, which
+    the reference hard-codes after the YAML load, bfmnet.py:153-157) keep
+    their defaults; explicit per-model blocks win."""
+    yml = tmp_path / "params.yml"
+    yml.write_text(
+        """
+default: &DEFAULT
+  training:
+    learning_rate: 0.002
+    max_grad_norm: 10.0
+    epochs: 7
+  pixrefer:
+    training:
+      epochs: 3
+"""
+    )
+    cfg = load_config(str(yml))
+    # shared non-pinned knobs propagate
+    assert cfg.bfmnet.training.max_grad_norm == 10.0
+    assert cfg.bfmnet.training.epochs == 7
+    assert cfg.atnet.training.epochs == 7
+    # model-pinned lr schedules are untouched by the shared block
+    assert cfg.bfmnet.training.learning_rate == 1e-4
+    assert cfg.pixrefer.training.learning_rate == 3e-4
+    # explicit per-model block beats the shared block
+    assert cfg.pixrefer.training.epochs == 3
+    assert cfg.pixrefer.training.max_grad_norm == 10.0

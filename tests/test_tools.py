@@ -12,14 +12,31 @@ from voicepuppet_tpu.tools.bfm_tools import save_obj
 
 
 def test_makelist_split(tmp_path):
-    # build 12 fake clips with landmark files
+    # build 12 complete clips (landmark + bfmcoeff + wav, like the
+    # reference's makelist_bfm.py:31-33 requires)
+    def rows(n, cols):
+        return "\n".join(",".join(["1.0"] * cols) for _ in range(n)) + "\n"
+
     for i in range(12):
         d = tmp_path / f"clip{i:02d}"
         d.mkdir()
-        (d / "landmark.txt").write_text("\n".join(
-            ",".join(["1.0"] * 136) for _ in range(5)) + "\n")
-    train = tmp_path / "train.txt"
-    ev = tmp_path / "eval.txt"
+        (d / "landmark.txt").write_text(rows(5, 136))
+        (d / "bfmcoeff.txt").write_text(rows(5, 257))
+        (d / "audio.wav").write_bytes(b"RIFF")
+    # incomplete clips must be excluded: one missing the wav, one with
+    # mismatched landmark/coeff row counts
+    d = tmp_path / "clip_nowav"
+    d.mkdir()
+    (d / "landmark.txt").write_text(rows(5, 136))
+    (d / "bfmcoeff.txt").write_text(rows(5, 257))
+    d = tmp_path / "clip_mismatch"
+    d.mkdir()
+    (d / "landmark.txt").write_text(rows(5, 136))
+    (d / "bfmcoeff.txt").write_text(rows(4, 257))
+    (d / "audio.wav").write_bytes(b"RIFF")
+
+    train = tmp_path / "lists" / "train.txt"
+    ev = tmp_path / "lists" / "eval.txt"  # parent dir created by writer
     n_train, n_eval = makelist.write_dataset(str(tmp_path), str(train),
                                              str(ev), mode="bfm",
                                              train_by_eval=9)
@@ -28,6 +45,9 @@ def test_makelist_split(tmp_path):
     line = train.read_text().splitlines()[0]
     folder, count = line.split("|")
     assert count == "5"
+    listed = train.read_text() + ev.read_text()
+    assert "clip_nowav" not in listed
+    assert "clip_mismatch" not in listed
 
 
 def test_save_obj_roundtrip(tmp_path):
@@ -126,6 +146,45 @@ def test_prepare_schedule_step1(tmp_path):
     assert n == 1
     ears = np.loadtxt(d / "ear.txt")
     assert ears.shape == (10,)
+
+
+def test_prepare_panels_rescales_landmarks_and_renders_at_size(tmp_path):
+    """Panel step: the fallback alpha hull must track the landmarks after
+    the image is resized from its original resolution to img_size, and the
+    face panel must be rendered at img_size natively."""
+    from PIL import Image
+    from voicepuppet_tpu.tools.prepare_dataset import Schedule
+
+    cfg = Config()
+    src = tmp_path / "src"
+    clip = src / "clip0"
+    clip.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    t, orig = 2, 100
+    for i in range(t):
+        Image.fromarray((rng.rand(orig, orig, 3) * 255).astype(
+            np.uint8)).save(clip / f"{i}.jpg")
+    # landmarks: a hull in the top-left quadrant of the ORIGINAL 100px frame
+    base = rng.rand(68, 2) * 30 + 10
+    lmk = np.tile(base.reshape(1, -1), (t, 1))
+    np.savetxt(clip / "landmark.txt", lmk, fmt="%.3f", delimiter=",")
+    coeffs = rng.randn(t, 257).astype(np.float32) * 0.1
+    np.savetxt(clip / "bfmcoeff.txt", coeffs, fmt="%.6f", delimiter=",")
+
+    sched = Schedule(cfg)
+    dst = tmp_path / "dst"
+    size = 64
+    n = sched._make_panels(str(src), str(dst), img_size=size)
+    assert n == 1
+    panel = np.asarray(Image.open(dst / "clip0" / "0.jpg"))
+    assert panel.shape == (size, size * 3, 3)
+    alpha = panel[:, 2 * size:, 0].astype(np.float32) / 255.0
+    ys, xs = np.nonzero(alpha > 0.5)
+    assert len(ys) > 0
+    # hull spanned [10,40) of 100px -> [6.4,25.6) of 64px: wholly inside
+    # the top-left quadrant once rescaled (it would sit at [10,40) and
+    # leak past 32 if the landmarks were NOT rescaled)
+    assert ys.max() < size // 2 and xs.max() < size // 2
 
 
 def test_prepare_schedule_steps_3_4_need_providers(tmp_path):

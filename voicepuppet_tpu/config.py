@@ -218,6 +218,34 @@ def _update_dataclass(obj, overrides: Dict[str, Any]):
     return dataclasses.replace(obj, **kwargs)
 
 
+_MODEL_KEYS = ("bfmnet", "pixrefer", "pixflow", "atnet", "vgnet")
+
+
+def _distribute_training(out: Dict[str, Any], training: Dict[str, Any]):
+    """Propagate the reference YAML's shared ``training:`` block into each
+    model's training config.
+
+    Reference semantics (configure.py + e.g. bfmnet.py:153-157): the YAML
+    block supplies shared knobs, but each model then hard-codes its own
+    lr/decay schedule AFTER the YAML load — so for those fields the YAML
+    value is dead in the reference too.  We mirror that: a YAML key is
+    distributed to a model only if that model's default training config
+    does NOT pin the field (pin = differs from the base TrainingConfig
+    default).  An explicit per-model ``<model>: training:`` block always
+    wins over the shared block."""
+    base = TrainingConfig()
+    defaults = Config()
+    for model_key in _MODEL_KEYS:
+        model_default = getattr(defaults, model_key).training
+        pinned = {f.name for f in dataclasses.fields(TrainingConfig)
+                  if getattr(model_default, f.name) != getattr(base, f.name)}
+        merged = {k: v for k, v in training.items()
+                  if k not in pinned and not isinstance(v, dict)}
+        merged.update(out.get(model_key, {}).get("training", {}))
+        if merged:
+            out.setdefault(model_key, {})["training"] = merged
+
+
 def _flatten_reference_yaml(raw: Dict[str, Any]) -> Dict[str, Any]:
     """Map the reference params.yml schema onto the Config tree."""
     out: Dict[str, Any] = {}
@@ -237,6 +265,8 @@ def _flatten_reference_yaml(raw: Dict[str, Any]) -> Dict[str, Any]:
                 "mesh"):
         if key in raw:
             out.setdefault(key, {}).update(raw[key])
+    if isinstance(raw.get("training"), dict):
+        _distribute_training(out, raw["training"])
     return out
 
 

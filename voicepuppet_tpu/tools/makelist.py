@@ -15,14 +15,26 @@ import os
 from typing import List, Tuple
 
 
-def count_frames_bfm(folder: str, landmark_name: str) -> int:
-    """A BFM-style clip is valid if it has landmark/bfmcoeff/audio files;
-    the frame count is the landmark row count."""
-    path = os.path.join(folder, landmark_name)
-    if not os.path.exists(path):
+def count_frames_bfm(folder: str, landmark_name: str,
+                     bfmcoeff_name: str = "bfmcoeff.txt",
+                     wav_name: str = "audio.wav") -> int:
+    """A BFM-style clip is valid only when landmark/bfmcoeff/audio all
+    exist (the reference requires all three; makelist_bfm.py:31-33) and
+    the landmark and coefficient row counts agree; the frame count is
+    that row count."""
+    lmk = os.path.join(folder, landmark_name)
+    bfm = os.path.join(folder, bfmcoeff_name)
+    wav = os.path.join(folder, wav_name)
+    if not (os.path.exists(lmk) and os.path.exists(bfm)
+            and os.path.exists(wav)):
         return 0
-    with open(path) as f:
-        return sum(1 for line in f if line.strip())
+
+    def rows(path):
+        with open(path) as f:
+            return sum(1 for line in f if line.strip())
+
+    n = rows(lmk)
+    return n if n == rows(bfm) else 0
 
 
 def count_frames_images(folder: str) -> int:
@@ -34,11 +46,13 @@ def count_frames_images(folder: str) -> int:
     return n
 
 
-def collect_clips(root: str, mode: str, landmark_name: str
-                  ) -> List[Tuple[str, int]]:
+def collect_clips(root: str, mode: str, landmark_name: str,
+                  bfmcoeff_name: str = "bfmcoeff.txt",
+                  wav_name: str = "audio.wav") -> List[Tuple[str, int]]:
     clips = []
     for dirpath, dirnames, filenames in sorted(os.walk(root)):
-        count = (count_frames_bfm(dirpath, landmark_name)
+        count = (count_frames_bfm(dirpath, landmark_name, bfmcoeff_name,
+                                  wav_name)
                  if mode == "bfm" else count_frames_images(dirpath))
         if count > 0:
             clips.append((dirpath, count))
@@ -47,11 +61,15 @@ def collect_clips(root: str, mode: str, landmark_name: str
 
 def write_dataset(root: str, train_path: str, eval_path: str,
                   mode: str = "bfm", train_by_eval: int = 9,
-                  landmark_name: str = "landmark.txt") -> Tuple[int, int]:
+                  landmark_name: str = "landmark.txt",
+                  bfmcoeff_name: str = "bfmcoeff.txt",
+                  wav_name: str = "audio.wav") -> Tuple[int, int]:
     """ref: makelist_bfm.py write_dataset — every (train_by_eval+1)-th clip
     goes to the eval list."""
-    clips = collect_clips(root, mode, landmark_name)
+    clips = collect_clips(root, mode, landmark_name, bfmcoeff_name,
+                          wav_name)
     os.makedirs(os.path.dirname(os.path.abspath(train_path)), exist_ok=True)
+    os.makedirs(os.path.dirname(os.path.abspath(eval_path)), exist_ok=True)
     n_train = n_eval = 0
     with open(train_path, "w") as ftr, open(eval_path, "w") as fev:
         for i, (folder, count) in enumerate(clips):
@@ -78,7 +96,8 @@ def main(argv=None):
     root = args.root or cfg.dataset.root_path
     n_train, n_eval = write_dataset(
         root, cfg.dataset.train_dataset_path, cfg.dataset.eval_dataset_path,
-        args.mode, cfg.dataset.train_by_eval, cfg.dataset.landmark_name)
+        args.mode, cfg.dataset.train_by_eval, cfg.dataset.landmark_name,
+        cfg.dataset.bfmcoeff_name, cfg.dataset.wav_name)
     print(f"wrote {n_train} train / {n_eval} eval clips")
 
 

@@ -152,7 +152,10 @@ class Schedule:
     # ---- steps 5/6: 3-panel training images (ref :323-700) ----
     def _render_faces(self, coeffs: np.ndarray, img_size: int,
                       chunk: int = 16) -> np.ndarray:
-        """Batched device render of [T,257] -> [T,224,224,3] uint8."""
+        """Batched device render of [T,257] -> [T,img_size,img_size,3]
+        uint8.  Projections are in the 224 analysis frame; scale them to
+        ``img_size`` and render natively there (sharper than rendering at
+        224 and upscaling — same scaling the infer drivers use)."""
         import jax.numpy as jnp
         from voicepuppet_tpu.face3d import bfm as bfm_mod, morph
         from voicepuppet_tpu.ops import render_colors_auto
@@ -162,17 +165,20 @@ class Schedule:
                       if os.path.exists(model_path)
                       else bfm_mod.synthetic_bfm())
         fm = morph.device_bfm(face_model)
+        scale = img_size / 224.0
+        bb = max(6, int(round(6 * scale)))
         t = coeffs.shape[0]
-        out = np.zeros((t, 224, 224, 3), np.uint8)
+        out = np.zeros((t, img_size, img_size, 3), np.uint8)
         for s in range(0, t, chunk):
             n = min(chunk, t - s)
             c = np.zeros((chunk, 257), np.float32)
             c[:n] = coeffs[s:s + n]
             rec = morph.reconstruct(jnp.asarray(c), fm)
-            verts = jnp.concatenate([rec.face_projection, rec.z_buffer],
-                                    -1)
+            verts = jnp.concatenate(
+                [rec.face_projection * scale, rec.z_buffer], -1)
             colors = jnp.floor(jnp.clip(rec.face_color, 0., 255.))
-            imgs, _ = render_colors_auto(verts, colors, fm.tri)
+            imgs, _ = render_colors_auto(verts, colors, fm.tri,
+                                         h=img_size, w=img_size, bb=bb)
             out[s:s + n] = np.asarray(imgs[:n])
         return out
 
@@ -235,11 +241,18 @@ class Schedule:
             faces = self._render_faces(coeffs, img_size)
             from PIL import Image
             for i in range(min(lmks.shape[0], coeffs.shape[0])):
-                img = load_image(os.path.join(folder, f"{i}.jpg"),
-                                 resize=(img_size, img_size))
-                face = np.asarray(Image.fromarray(faces[i]).resize(
-                    (img_size, img_size))) / 255.0
-                alpha = self._alpha_mask(img, lmks[i])
+                path = os.path.join(folder, f"{i}.jpg")
+                with Image.open(path) as im:
+                    w0, h0 = im.size
+                img = load_image(path, resize=(img_size, img_size))
+                # landmark.txt is in the original crop's pixel frame;
+                # rescale to the resized panel frame so the fallback hull
+                # mask stays aligned with the image.
+                lmk = (lmks[i].reshape(-1, 2)
+                       * np.asarray([img_size / w0, img_size / h0],
+                                    np.float32)).reshape(-1)
+                face = faces[i].astype(np.float32) / 255.0
+                alpha = self._alpha_mask(img, lmk)
                 panel = np.concatenate([img, face, alpha], axis=1)
                 save_image(os.path.join(out_dir, f"{i}.jpg"), panel)
             done += 1

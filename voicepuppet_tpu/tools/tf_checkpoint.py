@@ -179,44 +179,18 @@ def _shortcut_rows(variables) -> List[Tuple[str, str, Tuple[str, ...],
 def export_bfmnet_npz(variables, path: str):
     """Dump a flax BFMNet variable tree under the TF variable names (the
     inverse mapping) — used to validate bijectivity and to ship weights
-    back toward TF tooling."""
-    blob: Dict[str, np.ndarray] = {}
-    rows = bfmnet_name_map() + _shortcut_rows(variables)
-    for tf_name, coll, path_, transform in rows:
-        val = _get(variables[coll], path_)
-        if val is None:
-            continue
-        val = np.asarray(val)
-        if transform is _depthwise:
-            val = np.transpose(val, (0, 1, 3, 2))  # inverse == same perm
-        blob[tf_name.replace("/", "|")] = val
-    np.savez(path, **blob)
+    back toward TF tooling.  Thin wrapper over :func:`export_npz` with the
+    BFMNet row set (incl. the tree-probed shortcut rows)."""
+    export_npz(variables, bfmnet_name_map() + _shortcut_rows(variables),
+               path)
 
 
 def load_bfmnet_npz(path: str, variables):
     """Overlay a TF-named npz dump onto a flax BFMNet variable tree.
-    Returns (new_variables, loaded_names, missing_names)."""
-    blob = np.load(path)
-    available = {k.replace("|", "/"): blob[k] for k in blob.files}
-    import jax
-    out = jax.tree_util.tree_map(lambda x: x, dict(variables))
-    out = {k: _deep_mutable(v) for k, v in out.items()}
-    loaded, missing = [], []
-    rows = bfmnet_name_map() + _shortcut_rows(variables)
-    for tf_name, coll, path_, transform in rows:
-        if tf_name not in available:
-            missing.append(tf_name)
-            continue
-        val = available[tf_name]
-        if transform is not None:
-            val = transform(val)
-        target = _get(variables[coll], path_)
-        if target is None or np.shape(target) != np.shape(val):
-            missing.append(tf_name)
-            continue
-        _set(out[coll], path_, np.asarray(val, np.float32))
-        loaded.append(tf_name)
-    return out, loaded, missing
+    Returns (new_variables, loaded_names, missing_names).  Thin wrapper
+    over :func:`load_npz` with the BFMNet row set."""
+    return load_npz(path, variables,
+                    bfmnet_name_map() + _shortcut_rows(variables))
 
 
 def _deep_mutable(tree):
