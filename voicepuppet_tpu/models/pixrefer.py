@@ -59,7 +59,11 @@ class StatelessBatchNorm(nn.Module):
     """Per-batch-moment normalization with learned scale/offset — exactly
     the reference's always-``training=True`` batch_normalization
     (pixrefer.py:99-101): eps 1e-5, gamma ~ N(1, 0.02), beta zeros; no
-    running averages (they are never consumed in the reference)."""
+    running averages (they are never consumed in the reference).
+
+    Moments are always accumulated in float32 (a bf16 mean over 512² pixels
+    loses ~5 bits to accumulation error); the normalized result is returned
+    in the input dtype."""
     epsilon: float = 1e-5
     axis_name: Optional[str] = None
 
@@ -70,35 +74,40 @@ class StatelessBatchNorm(nn.Module):
                            lambda k, s: 1.0 + 0.02 * jax.random.normal(
                                k, s, jnp.float32), (ch,))
         beta = self.param("bias", nn.initializers.zeros, (ch,))
+        xf = x.astype(jnp.float32)
         red = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=red)
-        mean2 = jnp.mean(jnp.square(x), axis=red)
+        mean = jnp.mean(xf, axis=red)
+        mean2 = jnp.mean(jnp.square(xf), axis=red)
         if self.axis_name is not None:
             mean = jax.lax.pmean(mean, self.axis_name)
             mean2 = jax.lax.pmean(mean2, self.axis_name)
         var = mean2 - jnp.square(mean)
         inv = jax.lax.rsqrt(var + self.epsilon)
-        return (x - mean) * inv * gamma + beta
+        return ((xf - mean) * inv * gamma + beta).astype(x.dtype)
 
 
 class GenConv(nn.Module):
     """4x4 stride-2 'same' conv (ref: pixrefer.py:66-74)."""
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         return nn.Conv(self.features, (4, 4), strides=(2, 2),
-                       padding="SAME", kernel_init=conv_init())(x)
+                       padding="SAME", kernel_init=conv_init(),
+                       dtype=self.dtype)(x)
 
 
 class GenDeconv(nn.Module):
     """4x4 stride-2 'same' transposed conv (ref: pixrefer.py:76-86)."""
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         return nn.ConvTranspose(self.features, (4, 4), strides=(2, 2),
-                                padding="SAME", kernel_init=conv_init())(x)
+                                padding="SAME", kernel_init=conv_init(),
+                                dtype=self.dtype)(x)
 
 
 class DiscrimConv(nn.Module):
@@ -115,32 +124,41 @@ class DiscrimConv(nn.Module):
 
 
 class Generator(nn.Module):
-    """ref: pixrefer.py:166-277.  Returns the raw tanh output [B,H,W,4]."""
+    """ref: pixrefer.py:166-277.  Returns the raw tanh output [B,H,W,4].
+
+    ``dtype=bfloat16`` runs every conv on the MXU in bf16 (params stay
+    float32; flax casts activations per layer) — the serving configuration.
+    BN moments stay float32 regardless (StatelessBatchNorm)."""
     ngf: int = 64
     out_channels: int = 4
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, fg_ref):
         bn = lambda: StatelessBatchNorm(axis_name=self.axis_name)
         ngf = self.ngf
+        inputs = inputs.astype(self.dtype)
+        fg_ref = fg_ref.astype(self.dtype)
 
         # face-render encoder stream (encoder_1..4)
-        layers = [GenConv(ngf, name="encoder_1")(inputs)]
+        conv = functools.partial(GenConv, dtype=self.dtype)
+        deconv = functools.partial(GenDeconv, dtype=self.dtype)
+        layers = [conv(ngf, name="encoder_1")(inputs)]
         for i, ch in enumerate((ngf * 2, ngf * 2, ngf * 4)):
-            x = GenConv(ch, name=f"encoder_{i + 2}")(lrelu(layers[-1]))
+            x = conv(ch, name=f"encoder_{i + 2}")(lrelu(layers[-1]))
             layers.append(bn()(x))
 
         # foreground-reference encoder stream (encoder_fg_1..4)
-        fg_layers = [GenConv(ngf, name="encoder_fg_1")(fg_ref)]
+        fg_layers = [conv(ngf, name="encoder_fg_1")(fg_ref)]
         for i, ch in enumerate((ngf * 2, ngf * 2, ngf * 4)):
-            x = GenConv(ch, name=f"encoder_fg_{i + 2}")(lrelu(fg_layers[-1]))
+            x = conv(ch, name=f"encoder_fg_{i + 2}")(lrelu(fg_layers[-1]))
             fg_layers.append(bn()(x))
 
         # merged trunk (merged_encoder_2..5)
         merged = [jnp.concatenate([layers[-1], fg_layers[-1]], axis=-1)]
         for i, ch in enumerate((ngf * 4, ngf * 8, ngf * 8, ngf * 8)):
-            x = GenConv(ch, name=f"merged_encoder_{i + 2}")(lrelu(merged[-1]))
+            x = conv(ch, name=f"merged_encoder_{i + 2}")(lrelu(merged[-1]))
             merged.append(bn()(x))
 
         # decoder against the merged trunk (merged_decoder_*), U-Net skips
@@ -149,7 +167,7 @@ class Generator(nn.Module):
             skip = num_enc - dl - 1
             x = merged[-1] if dl == 0 else jnp.concatenate(
                 [merged[-1], merged[skip]], axis=-1)
-            x = GenDeconv(ch, name=f"merged_decoder_{skip + 1}")(
+            x = deconv(ch, name=f"merged_decoder_{skip + 1}")(
                 jax.nn.relu(x))
             merged.append(bn()(x))
 
@@ -158,14 +176,14 @@ class Generator(nn.Module):
         for dl, ch in enumerate((ngf * 2, ngf * 2, ngf)):
             skip = num_enc2 - dl - 1
             x = jnp.concatenate([merged[-1], layers[skip]], axis=-1)
-            x = GenDeconv(ch, name=f"merged2_decoder_{skip + 1}")(
+            x = deconv(ch, name=f"merged2_decoder_{skip + 1}")(
                 jax.nn.relu(x))
             merged.append(bn()(x))
 
-        # decoder_1 -> tanh RGBA
+        # decoder_1 -> tanh RGBA; compositing happens in float32
         x = jnp.concatenate([merged[-1], layers[0]], axis=-1)
-        x = GenDeconv(self.out_channels, name="decoder_1")(jax.nn.relu(x))
-        return jnp.tanh(x)
+        x = deconv(self.out_channels, name="decoder_1")(jax.nn.relu(x))
+        return jnp.tanh(x.astype(jnp.float32))
 
 
 class Discriminator(nn.Module):
@@ -234,9 +252,11 @@ class PixReferNet(nn.Module):
     ``fg_inputs[..., :3]`` (the reference fg; pixrefer.py:281)."""
     cfg: PixReferConfig
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, fg_inputs, targets):
         gen_out = Generator(self.cfg.ngf, 4, self.axis_name,
+                            dtype=self.dtype,
                             name="generator")(inputs, fg_inputs[..., :3])
         return composite(gen_out, targets)

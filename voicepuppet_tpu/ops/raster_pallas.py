@@ -12,17 +12,27 @@ a strict ``>`` depth test means the first triangle at a given depth wins.
 Layout strategy:
   * XLA precomputes per-triangle constants (bbox, barycentric setup, flat
     depth) as one [B, F, 16] f32 tensor — vectorized, cheap.
-  * grid = (B frames, F/T_CHUNK triangle chunks); the per-frame depth and
-    winner buffers are *outputs* whose block index depends only on the
-    frame, so they stay in VMEM across the chunk dimension (initialized at
-    chunk 0).
-  * each triangle updates an 8-row full-width [8, W] window: row-aligned
-    reads avoid lane-misaligned dynamic slicing; the inside test is
-    evaluated on [8, W] lanes with the same dot-product barycentric math
-    as the C++ (mesh_core.cpp:23-50), including the degenerate-triangle
-    quirk (inv_deno = 0 -> whole bbox passes).
+  * grid = (B/FB frame groups, F/chunk triangle chunks); the per-frame
+    depth and winner buffers are *outputs* whose block index depends only
+    on the frame group, so they stay in VMEM across the chunk dimension
+    (initialized at chunk 0).
+  * **frame interleaving (FB)**: each grid step carries FB frames and the
+    inner body updates all FB buffers for triangle i.  Without this the
+    loop is serialized on the store->load round-trip of the depth window
+    (triangle i+1 reads what triangle i wrote to the same buffer); the FB
+    chains are independent, so the compiler overlaps them.  Measured on
+    70,688 triangles x 16 frames @224²: fb=1 ~225 ns/tri-frame,
+    fb=8 ~46 ns — a 5x speedup for free.  (An interval-table variant with
+    8x fewer scalar reads measured *slower* end-to-end: the XLA-side
+    [B,F,win,win] coverage precompute costs more than it saves.)
+  * each triangle updates a win-row full-width [win, W] window at an
+    8-aligned origin: row-aligned reads avoid lane-misaligned dynamic
+    slicing; the inside test is evaluated on [win, W] lanes with the same
+    dot-product barycentric math as the C++ (mesh_core.cpp:23-50),
+    including the degenerate-triangle quirk (inv_deno = 0 -> whole bbox
+    passes).
 
-Triangles taller than 8px are cropped by the aligned window (knob;
+Triangles taller than win-7 px are cropped by the aligned window (knob;
 BFM triangles at 224² are 1-7 px tall).  The winner buffer
 holds triangle ids; color lookup happens outside as a vectorized gather.
 """
@@ -30,7 +40,7 @@ holds triangle ids; color lookup happens outside as a vectorized gather.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,10 +57,21 @@ WIN = 16
 # and scalar reads from SMEM measured ~20% faster than VMEM (204 vs 255 ms
 # per 16-frame chunk at 70k triangles)
 T_CHUNK = 256
+# frame-interleave factor: 8 breaks the depth-window store->load chain
+# 8-ways; the (fb, chunk, 16) f32 SMEM block must stay <= 32 KB (a
+# (16, 64, 16) block fails to compile), hence chunk = 512 // fb
+FB = 8
+
+
+def _fb_for_batch(b: int, fb: int = FB) -> int:
+    while b % fb:
+        fb //= 2
+    return max(fb, 1)
 
 
 def _triangle_table(vertices: jax.Array, triangles: jax.Array,
-                    h: int, w: int, win: int = WIN) -> jax.Array:
+                    h: int, w: int, win: int = WIN,
+                    pad_to: int = T_CHUNK) -> jax.Array:
     """[B, V, 3] + [F, 3] -> [B, F_pad, 16] f32 per-triangle constants:
     (p0x, p0y, v0x, v0y, v1x, v1y, dot00, dot01, dot11, inv_deno,
      flat_depth, x_min, x_max, y_min, y_max, y0w)."""
@@ -79,7 +100,7 @@ def _triangle_table(vertices: jax.Array, triangles: jax.Array,
                        inv_deno, flat_depth, x_min, x_max, y_min, y_max,
                        y0w], axis=-1)
     b, f, _ = table.shape
-    f_pad = -(-f // T_CHUNK) * T_CHUNK
+    f_pad = -(-f // pad_to) * pad_to
     if f_pad != f:
         pad = jnp.zeros((b, f_pad - f, 16), jnp.float32)
         # empty bbox (x_max < x_min) -> never draws
@@ -89,13 +110,13 @@ def _triangle_table(vertices: jax.Array, triangles: jax.Array,
 
 
 def _raster_kernel(tri_ref, depth_ref, winner_ref, *, h: int, w: int,
-                   num_tri: int, win: int):
+                   num_tri: int, win: int, fb: int, chunk: int):
     chunk_id = pl.program_id(1)
 
     @pl.when(chunk_id == 0)
     def _():
-        depth_ref[...] = jnp.full((h, w), DEPTH_INIT, jnp.float32)
-        winner_ref[...] = jnp.full((h, w), num_tri, jnp.int32)
+        depth_ref[...] = jnp.full((fb, h, w), DEPTH_INIT, jnp.float32)
+        winner_ref[...] = jnp.full((fb, h, w), num_tri, jnp.int32)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (win, w), 1).astype(
         jnp.float32)
@@ -103,77 +124,87 @@ def _raster_kernel(tri_ref, depth_ref, winner_ref, *, h: int, w: int,
         jnp.float32)
 
     def body(i, _):
-        p0x = tri_ref[i, 0]
-        p0y = tri_ref[i, 1]
-        v0x = tri_ref[i, 2]
-        v0y = tri_ref[i, 3]
-        v1x = tri_ref[i, 4]
-        v1y = tri_ref[i, 5]
-        dot00 = tri_ref[i, 6]
-        dot01 = tri_ref[i, 7]
-        dot11 = tri_ref[i, 8]
-        inv_deno = tri_ref[i, 9]
-        flat_depth = tri_ref[i, 10]
-        x_min = tri_ref[i, 11]
-        x_max = tri_ref[i, 12]
-        y_min = tri_ref[i, 13]
-        y_max = tri_ref[i, 14]
-        y0w = pl.multiple_of(tri_ref[i, 15].astype(jnp.int32), 8)
-        tri_id = chunk_id * T_CHUNK + i
+        tri_id = chunk_id * chunk + i
+        # python-unrolled over the fb interleaved frames: fb independent
+        # read-modify-write chains for the compiler to overlap
+        for fr in range(fb):
+            p0x = tri_ref[fr, i, 0]
+            p0y = tri_ref[fr, i, 1]
+            v0x = tri_ref[fr, i, 2]
+            v0y = tri_ref[fr, i, 3]
+            v1x = tri_ref[fr, i, 4]
+            v1y = tri_ref[fr, i, 5]
+            dot00 = tri_ref[fr, i, 6]
+            dot01 = tri_ref[fr, i, 7]
+            dot11 = tri_ref[fr, i, 8]
+            inv_deno = tri_ref[fr, i, 9]
+            flat_depth = tri_ref[fr, i, 10]
+            x_min = tri_ref[fr, i, 11]
+            x_max = tri_ref[fr, i, 12]
+            y_min = tri_ref[fr, i, 13]
+            y_max = tri_ref[fr, i, 14]
+            y0w = pl.multiple_of(tri_ref[fr, i, 15].astype(jnp.int32), 8)
 
-        rows = row_off + y0w.astype(jnp.float32)
-        px = col - p0x
-        py = rows - p0y
-        dot02 = v0x * px + v0y * py
-        dot12 = v1x * px + v1y * py
-        u = (dot11 * dot02 - dot01 * dot12) * inv_deno
-        v = (dot00 * dot12 - dot01 * dot02) * inv_deno
-        inside = (u >= 0.0) & (v >= 0.0) & (u + v < 1.0)
-        in_box = ((col >= x_min) & (col <= x_max)
-                  & (rows >= y_min) & (rows <= y_max))
+            rows = row_off + y0w.astype(jnp.float32)
+            px = col - p0x
+            py = rows - p0y
+            dot02 = v0x * px + v0y * py
+            dot12 = v1x * px + v1y * py
+            u = (dot11 * dot02 - dot01 * dot12) * inv_deno
+            v = (dot00 * dot12 - dot01 * dot02) * inv_deno
+            inside = (u >= 0.0) & (v >= 0.0) & (u + v < 1.0)
+            in_box = ((col >= x_min) & (col <= x_max)
+                      & (rows >= y_min) & (rows <= y_max))
 
-        d_win = depth_ref[pl.ds(y0w, win), :]
-        update = inside & in_box & (flat_depth > d_win)
-        # unconditional stores: a per-triangle @pl.when skip was measured
-        # 1.6x SLOWER than predicated writes (branch stalls the pipeline)
-        depth_ref[pl.ds(y0w, win), :] = jnp.where(update, flat_depth,
-                                                  d_win)
-        w_win = winner_ref[pl.ds(y0w, win), :]
-        winner_ref[pl.ds(y0w, win), :] = jnp.where(
-            update, jnp.int32(tri_id), w_win)
+            d_win = depth_ref[fr, pl.ds(y0w, win), :]
+            update = inside & in_box & (flat_depth > d_win)
+            # unconditional stores: a per-triangle @pl.when skip was
+            # measured 1.6x SLOWER than predicated writes (branch stalls)
+            depth_ref[fr, pl.ds(y0w, win), :] = jnp.where(
+                update, flat_depth, d_win)
+            w_win = winner_ref[fr, pl.ds(y0w, win), :]
+            winner_ref[fr, pl.ds(y0w, win), :] = jnp.where(
+                update, jnp.int32(tri_id), w_win)
         return 0
 
-    jax.lax.fori_loop(0, T_CHUNK, body, 0)
+    jax.lax.fori_loop(0, chunk, body, 0)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("h", "w", "win", "interpret"))
+                   static_argnames=("h", "w", "win", "fb", "interpret"))
 def rasterize_winner_pallas(vertices: jax.Array, triangles: jax.Array,
                             h: int = 224, w: int = 224, win: int = WIN,
+                            fb: Optional[int] = None,
                             interpret: bool = False):
     """[B,V,3] + [F,3] -> (winner [B,h,w] int32 in [0,F], depth [B,h,w]).
 
     ``winner == F`` marks uncovered pixels.  ``win`` (multiple of 8) must
-    be >= max triangle bbox height + 7; scale it with the canvas."""
+    be >= max triangle bbox height + 7; scale it with the canvas.
+    ``fb``: frame-interleave factor (must divide B; default: largest of
+    8,4,2,1 that divides B)."""
     assert win % 8 == 0 and win >= 8
     b = vertices.shape[0]
     f = triangles.shape[0]
+    if fb is None:
+        fb = _fb_for_batch(b)
+    assert b % fb == 0
+    chunk = 512 // fb
     table = _triangle_table(vertices.astype(jnp.float32), triangles, h, w,
-                            win)
+                            win, pad_to=chunk)
     f_pad = table.shape[1]
-    nc = f_pad // T_CHUNK
+    nc = f_pad // chunk
 
     kernel = functools.partial(_raster_kernel, h=h, w=w, num_tri=f,
-                               win=win)
+                               win=win, fb=fb, chunk=chunk)
     depth, winner = pl.pallas_call(
         kernel,
-        grid=(b, nc),
-        in_specs=[pl.BlockSpec((None, T_CHUNK, 16),
+        grid=(b // fb, nc),
+        in_specs=[pl.BlockSpec((fb, chunk, 16),
                                lambda bi, ci: (bi, ci, 0),
                                memory_space=pltpu.SMEM)],
-        out_specs=(pl.BlockSpec((None, h, w), lambda bi, ci: (bi, 0, 0),
+        out_specs=(pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((None, h, w), lambda bi, ci: (bi, 0, 0),
+                   pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.float32),
                    jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
@@ -184,10 +215,11 @@ def rasterize_winner_pallas(vertices: jax.Array, triangles: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("h", "w", "win", "interpret"))
+                   static_argnames=("h", "w", "win", "fb", "interpret"))
 def render_colors_pallas(vertices: jax.Array, colors: jax.Array,
                          triangles: jax.Array, h: int = 224, w: int = 224,
-                         win: int = WIN, interpret: bool = False
+                         win: int = WIN, fb: Optional[int] = None,
+                         interpret: bool = False
                          ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in fast path for face3d.raster.render_colors (flat-shaded
     z-buffer, exact C++ ordering semantics).  vertices [B,V,3],
@@ -195,7 +227,8 @@ def render_colors_pallas(vertices: jax.Array, colors: jax.Array,
     b = vertices.shape[0]
     f = triangles.shape[0]
     winner, _ = rasterize_winner_pallas(vertices, triangles, h, w,
-                                        win=win, interpret=interpret)
+                                        win=win, fb=fb,
+                                        interpret=interpret)
     tri_colors = colors[:, triangles, :]
     color_sum = jnp.sum(jnp.floor(tri_colors), axis=2)
     flat_color = jnp.floor(color_sum / 3.0)

@@ -81,6 +81,55 @@ def splice_coeff_sequence(identity_coeff: np.ndarray,
     return jnp.concatenate([head, exp_seq, tail], axis=-1)[0]
 
 
+def _pack_yuv420(frames: jax.Array) -> jax.Array:
+    """[C,S,S,3] float in [0,1] -> [C, S*S*3//2] uint8 planar YUV 4:2:0
+    (BT.601 full-range; chroma = 2x2 box mean).  Runs on device so the
+    d2h transfer carries 1.5 bytes/pixel instead of 3."""
+    c, s = frames.shape[0], frames.shape[1]
+    f = jnp.clip(frames, 0.0, 1.0) * 255.0
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = (b - y) * 0.564 + 128.0
+    v = (r - y) * 0.713 + 128.0
+    u = u.reshape(c, s // 2, 2, s // 2, 2).mean(axis=(2, 4))
+    v = v.reshape(c, s // 2, 2, s // 2, 2).mean(axis=(2, 4))
+    packed = jnp.concatenate(
+        [y.reshape(c, -1), u.reshape(c, -1), v.reshape(c, -1)], axis=1)
+    return jnp.clip(jnp.round(packed), 0, 255).astype(jnp.uint8)
+
+
+def _unpack_yuv420(packed: np.ndarray, s: int) -> np.ndarray:
+    """Host-side inverse of _pack_yuv420: [N, S*S*3//2] uint8 ->
+    [N, S, S, 3] uint8 RGB (nearest-neighbor chroma upsample).
+
+    The bench host has ONE core, so this sits on the critical drain path:
+    the chroma linear combinations run at quarter resolution in int16
+    (6.25-fixed-point) and only the upsample+add touches full frames —
+    ~2.5x faster than the naive full-resolution float version."""
+    n = packed.shape[0]
+    ss = s * s
+    y = packed[:, :ss].reshape(n, s, s).astype(np.int16)
+    u = packed[:, ss:ss + ss // 4].reshape(n, s // 2, s // 2).astype(
+        np.int16) - 128
+    v = packed[:, ss + ss // 4:].reshape(n, s // 2, s // 2).astype(
+        np.int16) - 128
+    # quarter-resolution chroma terms, 1/64-fixed-point (fits int16:
+    # |term| <= 128*1.773*64 ~ 14.5k)
+    rq = (90 * v) >> 6                       # 1.403 ~ 90/64
+    gq = (-22 * u - 46 * v) >> 6             # 0.344 ~ 22/64, 0.714 ~ 46/64
+    bq = (113 * u) >> 6                      # 1.773 ~ 113/64
+    out = np.empty((n, s, s, 3), np.uint8)
+    up = np.empty((n, s, s), np.int16)
+    for ch, q in ((0, rq), (1, gq), (2, bq)):
+        # 2x2 nearest upsample via strided broadcast into a flat buffer
+        uv = up.reshape(n, s // 2, 2, s // 2, 2)
+        uv[:] = q[:, :, None, :, None]
+        np.add(up, y, out=up)
+        np.clip(up, 0, 255, out=up)
+        out[..., ch] = up
+    return out
+
+
 def _paste_geometry(out_hw: int, center_x: int, center_y: int,
                     tx: int, ty: int, img_size: int):
     """Static paste window math (ref: infer_bfmvid.py:112-121), clipped to
@@ -101,19 +150,34 @@ class Synthesizer:
     def __init__(self, cfg: Config, face_model,
                  bfmnet_variables, pixrefer_g_params,
                  chunk: int = 16, raster_size: int = 224,
-                 raster_bb: int = 12, mesh=None):
+                 raster_bb: int = 12, mesh=None,
+                 gan_dtype=jnp.bfloat16,
+                 transfer_format: str = "yuv420"):
         """``mesh``: an optional jax.sharding.Mesh with a ``data`` axis —
         frame chunks are then sharded across it (inference sequence
         parallelism: the post-GRU frame path is embarrassingly parallel,
         SURVEY.md §2.3; on a v5e-8 this multiplies frame throughput by the
-        slice size)."""
+        slice size).
+
+        ``gan_dtype``: activation dtype for the PixRefer generator forward
+        (params stay float32).  bfloat16 is the serving default — the 4x4
+        stride-2 convs run 2x on the MXU; BN moments and compositing stay
+        float32.  Pass ``jnp.float32`` for bit-stable CPU parity runs.
+
+        ``transfer_format``: ``"yuv420"`` (default) packs frames to planar
+        YUV 4:2:0 on device — halving device->host bytes (1.5 B/px vs 3);
+        chroma subsampling is lossless w.r.t. the product contract because
+        the mp4 mux is yuv420p anyway (write_frames_and_mux).  ``"rgb8"``
+        transfers raw RGB.  ``render_frames`` returns RGB uint8 either way.
+        """
+        assert transfer_format in ("rgb8", "yuv420")
         self.cfg = cfg
         self.face_model = face_model
         self.fm = morph.device_bfm(face_model)
         self.frontend = MelFrontend(cfg.mel)
         self.bfmnet = BFMNet(cfg.bfmnet)
         self.bfm_vars = bfmnet_variables
-        self.gen = px.PixReferNet(cfg.pixrefer)
+        self.gen = px.PixReferNet(cfg.pixrefer, dtype=gan_dtype)
         self.g_params = pixrefer_g_params
         self.mesh = mesh
         if mesh is not None:
@@ -122,6 +186,7 @@ class Synthesizer:
         self.chunk = chunk
         self.raster_size = raster_size
         self.raster_bb = raster_bb
+        self.transfer_format = transfer_format
         self.img_size = cfg.pixrefer.img_size
         self._coeff_prog = jax.jit(self._coeff_program)
         self._frame_prog_cache: Dict = {}
@@ -192,8 +257,11 @@ class Synthesizer:
                 px.preprocess(fg_inputs), px.preprocess(background))
             frames = px.deprocess(outputs)
             frames_fg = px.deprocess(outputs_fg + alphas - 1.0)
-            return (jnp.clip(frames * 255.0, 0, 255).astype(jnp.uint8),
-                    frames_fg, canvas)
+            if self.transfer_format == "yuv420":
+                out = _pack_yuv420(frames)
+            else:
+                out = jnp.clip(frames * 255.0, 0, 255).astype(jnp.uint8)
+            return out, frames_fg, canvas
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -250,6 +318,16 @@ class Synthesizer:
 
         frames = np.zeros((t, self.img_size, self.img_size, 3), np.uint8)
         c = self.chunk
+
+        def drain(p_start, p_n, p_out):
+            # fetch the WHOLE chunk then slice on host: p_out[:p_n] would
+            # be a new device array, discarding the copy_to_host_async
+            # prefetch of p_out and paying a second (unprefetched) d2h
+            got = np.asarray(p_out)[:p_n]
+            if self.transfer_format == "yuv420":
+                got = _unpack_yuv420(got, self.img_size)
+            frames[p_start:p_start + p_n] = got
+
         pending = None  # one-chunk lag bounds device memory to 2 chunks
         for start in range(0, t, c):
             n = min(c, t - start)
@@ -270,12 +348,10 @@ class Synthesizer:
             except Exception:
                 pass
             if pending is not None:
-                p_start, p_n, p_out = pending
-                frames[p_start:p_start + p_n] = np.asarray(p_out[:p_n])
+                drain(*pending)
             pending = (start, n, out)
         if pending is not None:
-            p_start, p_n, p_out = pending
-            frames[p_start:p_start + p_n] = np.asarray(p_out[:p_n])
+            drain(*pending)
         return frames
 
     # ---- the full contract ----
@@ -368,7 +444,7 @@ class SynthesisAssets:
     @staticmethod
     def from_checkpoints(cfg: Config, bfmnet_ckpt_dir: str,
                          pixrefer_ckpt_dir: str, face_model=None,
-                         mesh=None) -> "Synthesizer":
+                         mesh=None, **synth_kwargs) -> "Synthesizer":
         """Compose the two trained models (the reference restores two
         scoped checkpoints into one graph; infer_bfmvid.py:207-218) from
         their orbax directories."""
@@ -387,11 +463,11 @@ class SynthesisAssets:
         bfm_vars = {"params": bfm_state.params,
                     "batch_stats": bfm_state.batch_stats}
         return Synthesizer(cfg, face_model, bfm_vars, px_state.g_params,
-                           mesh=mesh)
+                           mesh=mesh, **synth_kwargs)
 
     @staticmethod
-    def demo(cfg: Config, seed: int = 0,
-             face_model=None) -> Tuple[Synthesizer, Identity]:
+    def demo(cfg: Config, seed: int = 0, face_model=None,
+             **synth_kwargs) -> Tuple[Synthesizer, Identity]:
         face_model = face_model or bfm_mod.synthetic_bfm(num_theta=48,
                                                          num_phi=48)
         rng = jax.random.PRNGKey(seed)
@@ -406,8 +482,18 @@ class SynthesisAssets:
         g_vars = gen.init(jax.random.fold_in(rng, 1),
                           jnp.zeros((1, s, s, 6)), jnp.zeros((1, s, s, 6)),
                           jnp.zeros((1, s, s, 3)))
-        synth = Synthesizer(cfg, face_model, bfm_vars, g_vars["params"])
+        synth = Synthesizer(cfg, face_model, bfm_vars, g_vars["params"],
+                            **synth_kwargs)
         return synth, synthetic_identity(face_model, seed, s)
+
+
+def _resolve_face_model(cfg: Config):
+    """Real BFM assets when present, synthetic stand-in otherwise (the
+    image has no allmodels/; CLAUDE.md)."""
+    path = os.path.join(cfg.model_dir, "BFM_model_front.mat")
+    if os.path.exists(path):
+        return bfm_mod.load_bfm(cfg.model_dir)
+    return bfm_mod.synthetic_bfm(num_theta=48, num_phi=48)
 
 
 def main(argv=None):
@@ -421,15 +507,44 @@ def main(argv=None):
     p.add_argument("--config_path", default=None)
     p.add_argument("--out_dir", default="output")
     p.add_argument("--background_dir", default="background")
+    p.add_argument("--bfmnet_ckpt", default=None,
+                   help="orbax dir of a trained BFMNet (the reference "
+                        "restores ckpt_bfmnet/bfmnet-65000; "
+                        "infer_bfmvid.py:217)")
+    p.add_argument("--pixrefer_ckpt", default=None,
+                   help="orbax dir of a trained PixReferNet "
+                        "(ckpt_pixrefer/pixrefernet-20000; "
+                        "infer_bfmvid.py:218)")
     p.add_argument("--identity_npz", default=None,
                    help="npz with bfmcoeff/transform_params/center_x/"
                         "center_y/ratio (replaces dlib+mxnet+R-Net)")
+    p.add_argument("--landmark_model", default=None,
+                   help="TorchScript 68-landmark detector "
+                        "(pipeline.detect.TorchScriptLandmarkProvider); "
+                        "with --rnet_npz this runs the full novel-face "
+                        "identity path in place of dlib+mxnet+R-Net")
+    p.add_argument("--rnet_npz", default=None,
+                   help="slim-named npz dump of the Deep3DFace R-Net "
+                        "(pipeline.rnet; converted from FaceReconModel.pb)")
     p.add_argument("image")
     p.add_argument("audio")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config_path)
-    synth, identity = SynthesisAssets.demo(cfg)
+    if (args.bfmnet_ckpt is None) != (args.pixrefer_ckpt is None):
+        p.error("--bfmnet_ckpt and --pixrefer_ckpt must be given together")
+    if args.bfmnet_ckpt is not None:
+        # the product path: compose the two trained checkpoints
+        # (infer_bfmvid.py:207-218); identity still comes from
+        # --identity_npz or the demo fallback
+        face_model = _resolve_face_model(cfg)
+        synth = SynthesisAssets.from_checkpoints(
+            cfg, args.bfmnet_ckpt, args.pixrefer_ckpt,
+            face_model=face_model)
+        identity = synthetic_identity(face_model,
+                                      img_size=cfg.pixrefer.img_size)
+    else:
+        synth, identity = SynthesisAssets.demo(cfg)
     if args.identity_npz:
         blob = np.load(args.identity_npz)
         identity = Identity(bfmcoeff=blob["bfmcoeff"],
@@ -438,6 +553,26 @@ def main(argv=None):
                             center_y=int(blob["center_y"]),
                             ratio=float(blob["ratio"]),
                             colors_bgr=bool(blob.get("colors_bgr", True)))
+    elif args.landmark_model and args.rnet_npz:
+        # the reference's novel-face path, executable end to end: detect
+        # 68 landmarks -> SAT crop geometry -> R-Net identity coeff
+        # (infer_bfmvid.py:170-173; utils/utils.py:36-147)
+        from voicepuppet_tpu.data.loaders import load_image
+        from voicepuppet_tpu.pipeline.detect import (
+            TorchScriptLandmarkProvider, sat_alignment)
+        from voicepuppet_tpu.pipeline.rnet import RNetIdentityProvider
+        from voicepuppet_tpu.tools.bfm_tools import load_lm3d
+
+        src_img = load_image(args.image)[:, :cfg.pixrefer.img_size, :]
+        out = sat_alignment(src_img,
+                            TorchScriptLandmarkProvider(
+                                args.landmark_model))
+        if out is None:
+            raise SystemExit("no face detected by --landmark_model")
+        _, lmk68, img_cropped, lmk_c, cx, cy, ratio = out
+        provider = RNetIdentityProvider.from_npz(
+            args.rnet_npz, load_lm3d(cfg.model_dir))
+        identity = provider(img_cropped, lmk_c, cx, cy, ratio)
     bgs = cycling_backgrounds(args.background_dir, cfg.pixrefer.img_size)
     frames = synth.synthesize(args.image, args.audio, identity,
                               backgrounds=bgs, out_dir=args.out_dir)
