@@ -122,3 +122,39 @@ def test_shuffle_buffer_is_permutation():
     out = list(gen._ShuffleBuffer(iter(items), bufsize=10, seed=1))
     assert sorted(out) == items
     assert out != items
+
+
+def test_background_batches_union_and_termination():
+    """BackgroundBatches merges per-worker iterators into one stream and
+    terminates when all workers are exhausted."""
+    from voicepuppet_tpu.data.generators import BackgroundBatches
+
+    def make_iter(idx):
+        return iter([(idx, j) for j in range(5)])
+
+    bg = BackgroundBatches(make_iter, num_workers=3, prefetch=4)
+    got = list(bg)
+    assert len(got) == 15
+    # every worker contributed every item
+    assert sorted(got) == [(i, j) for i in range(3) for j in range(5)]
+
+
+def test_background_batches_overlaps_slow_producer():
+    """With 4 workers, a sleep-bound producer delivers ~4x faster than
+    serial (threads overlap; decode releases the GIL the same way)."""
+    import time
+    from voicepuppet_tpu.data.generators import BackgroundBatches
+
+    def make_iter(idx):
+        def it():
+            for j in range(4):
+                time.sleep(0.05)
+                yield (idx, j)
+        return it()
+
+    t0 = time.time()
+    got = list(BackgroundBatches(make_iter, num_workers=4, prefetch=8))
+    dt = time.time() - t0
+    assert len(got) == 16
+    # serial would be 16*0.05 = 0.8 s; overlapped ~0.2 s (+overhead)
+    assert dt < 0.6

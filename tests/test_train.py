@@ -153,3 +153,29 @@ def test_checkpoint_restore_without_any_is_noop(cfg, face_model, tmp_path):
     ckpt = CheckpointManager(str(tmp_path / "empty"), 2, 1)
     restored = ckpt.restore(state)
     assert restored is state
+
+
+def test_gan_schedule_matches_reference_global_step():
+    """The reference's shared global_step advances 2x per GAN iteration
+    (pixrefer.py:400,407); gan_optimizer halves transition_steps so the
+    optax per-optimizer count N reproduces tf's staircase lr exactly:
+    lr(N) = lr0 * rate^floor(2N/1000)."""
+    from voicepuppet_tpu.train.optim import gan_optimizer
+    from voicepuppet_tpu.config import TrainingConfig
+
+    tcfg = TrainingConfig(learning_rate=3e-4, decay_steps=1000,
+                          decay_rate=0.999, beta1=0.5)
+    tx = gan_optimizer(tcfg)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    grads = {"w": jnp.ones((3,))}
+
+    # drive the optimizer long enough to cross a staircase boundary and
+    # recover the effective lr from the Adam update magnitude
+    for n in range(520):
+        updates, state = tx.update(grads, state, params)
+        # steady-state Adam with constant grads: |update| == lr
+        if n in (498, 499, 500, 510):
+            got = float(-updates["w"][0])
+            want = 3e-4 * 0.999 ** ((2 * n) // 1000)
+            assert got == pytest.approx(want, rel=1e-4), (n, got, want)

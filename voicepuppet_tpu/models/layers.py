@@ -13,9 +13,9 @@ shapes/receptive fields:
   * ``ThinNet``: the image variant (tinynet.py:218-275 widths).
   * ``TFGRUCell`` + :func:`masked_gru`: a GRU matching tf.contrib.rnn.GRUCell
     gate math (reset applied to ``h`` *before* the candidate matmul, gate
-    bias init 1.0) and ``tf.nn.dynamic_rnn``'s sequence_length masking
-    (outputs zeroed and state frozen past each row's length; ref:
-    bfmnet.py:52-63), driven by ``lax.scan``.
+    bias init 1.0) and ``tf.nn.dynamic_rnn``'s sequence_length *output*
+    masking (outputs zeroed past each row's length; ref: bfmnet.py:52-63),
+    driven by ``lax.scan``.
 
 BatchNorm follows tf.contrib.layers.batch_norm defaults (decay .999,
 epsilon 1e-3, center only, no scale; tinynet.py:25).
@@ -255,9 +255,13 @@ class TFGRUCell(nn.Module):
 
 
 class masked_gru(nn.Module):
-    """tf.nn.dynamic_rnn(sequence_length=...) semantics over a TFGRUCell
-    stack (ref: bfmnet.py:44-69): scan over time; past each row's length the
-    output is zero and the carried state freezes.  Output dropout mirrors
+    """tf.nn.dynamic_rnn(sequence_length=...) *output* semantics over a
+    TFGRUCell stack (ref: bfmnet.py:44-69): scan over time, then zero the
+    outputs past each row's length.  dynamic_rnn additionally freezes the
+    carried state past seq_len; this implementation does not, which is
+    observably equivalent for the outputs (positions past seq_len are
+    zeroed here exactly as there, and the final state is never consumed —
+    bfmnet.py:58-63 uses only the output sequence).  Output dropout mirrors
     tf.contrib.rnn.DropoutWrapper(output_keep_prob=1-drop_rate)."""
     num_units: int
     num_layers: int = 1

@@ -44,8 +44,40 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(grid, (data_axis, model_axis))
 
 
+def mesh_global_batch(requested: int, mesh: Mesh, axis: str = "data",
+                      name: str = "batch_size") -> int:
+    """Round a global batch size up to a multiple of the data-axis size.
+
+    The reference batch sizes (BFMNet 4, PixRefer 2, PixFlow 3, ATNet 16,
+    VGNet 4; train_*.py) were chosen for ONE GPU; a sharded leading axis
+    must divide evenly over ``mesh.shape[axis]``.  Rounding up (with a
+    warning) keeps every device busy instead of crashing at device_put —
+    on a v5e-8, PixRefer's batch 2 becomes 8, which only scales the
+    reference's single-device batch, it does not change step semantics
+    (the loss is the mean over the global batch either way)."""
+    n = mesh.shape[axis]
+    if requested % n == 0:
+        return requested
+    rounded = -(-requested // n) * n
+    import logging
+    logging.getLogger(__name__).warning(
+        "%s=%d is not divisible by the %d-device '%s' mesh axis; "
+        "rounding up to %d", name, requested, n, axis, rounded)
+    return rounded
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Device-put a host batch pytree sharded on its leading axis."""
+    """Device-put a host batch pytree sharded on its leading axis.  The
+    leading dimension must be divisible by the axis size — size global
+    batches with :func:`mesh_global_batch`."""
+    n = mesh.shape[axis]
+    leaves = jax.tree_util.tree_leaves(batch)
+    if leaves and hasattr(leaves[0], "shape") and leaves[0].shape:
+        lead = leaves[0].shape[0]
+        if lead % n != 0:
+            raise ValueError(
+                f"global batch {lead} is not divisible by the {n}-device "
+                f"'{axis}' mesh axis; round it up with mesh_global_batch()")
     sharding = NamedSharding(mesh, P(axis))
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)

@@ -81,10 +81,11 @@ def align_for_identity(img: np.ndarray, lmk5: np.ndarray,
     lm = np.stack([lmk5[:, 0], h0 - 1 - lmk5[:, 1]], axis=1).astype(
         np.float64)
     t, s = pos_similarity(lm.T, lm3d.T)
+    t0, t1 = float(t[0, 0]), float(t[1, 0])
 
     pil = pil.transform(pil.size, Image.AFFINE,
-                        (1, 0, float(t[0]) - w0 / 2,
-                         0, 1, h0 / 2 - float(t[1])))
+                        (1, 0, t0 - w0 / 2,
+                         0, 1, h0 / 2 - t1))
     w = int(w0 / s * 102)
     h = int(h0 / s * 102)
     pil = pil.resize((w, h), resample=Image.BILINEAR)
@@ -95,7 +96,7 @@ def align_for_identity(img: np.ndarray, lmk5: np.ndarray,
     # (the reference flips with img[:, :, ::-1]; bfm_load_data.py:189)
     aligned = np.asarray(pil)[None, ..., ::-1].astype(np.float32)
     trans_params = np.array([w0, h0, 102.0 / s,
-                             float(t[0]) - w0 / 2, h0 / 2 - float(t[1])])
+                             t0 - w0 / 2, h0 / 2 - t1])
     return aligned, trans_params
 
 

@@ -59,6 +59,50 @@ class CallableLandmarkProvider:
         return self.fn(image)
 
 
+class TorchScriptLandmarkProvider:
+    """Run ANY real landmark detector exported as TorchScript — the
+    generic executable replacement for the reference's dlib+mxnet stack
+    (utils/utils.py:36-147), whose assets/frameworks this image lacks.
+
+    TorchScript bundles architecture+weights in one file, so e.g. a FAN
+    (face-alignment) or SAT model exported with ``torch.jit.trace`` plugs
+    in without its source.  Contract: the module maps a float32 RGB
+    [1, 3, H, W] tensor in [0, 1] to either [1, 68, 2] pixel coords or a
+    [1, 68, h, w] heatmap stack (argmax is taken here, scaled back to
+    image pixels — the SAT decode, utils/utils.py:109-117)."""
+
+    def __init__(self, model_path: str):
+        import torch
+        self._torch = torch
+        self._model = torch.jit.load(model_path, map_location="cpu")
+        self._model.eval()
+
+    def __call__(self, image: np.ndarray) -> Optional[np.ndarray]:
+        torch = self._torch
+        img = np.asarray(image, np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        h, w = img.shape[:2]
+        with torch.no_grad():
+            t = torch.from_numpy(img.transpose(2, 0, 1)[None])
+            out = self._model(t)
+        if isinstance(out, (tuple, list)):
+            out = out[-1]
+        out = out.numpy()
+        if out.ndim == 3 and out.shape[1:] == (68, 2):
+            return out[0].astype(np.float32)
+        if out.ndim == 4 and out.shape[1] == 68:
+            hm = out[0]
+            hh, hw = hm.shape[1:]
+            flat = hm.reshape(68, -1).argmax(axis=1)
+            ys, xs = np.divmod(flat, hw)
+            return np.stack([xs * (w / hw), ys * (h / hh)],
+                            axis=1).astype(np.float32)
+        raise ValueError(
+            f"landmark torchscript returned shape {out.shape}; expected "
+            "[1,68,2] coords or [1,68,h,w] heatmaps")
+
+
 class CenteredFaceProvider:
     """Synthetic landmark layout centered in the frame — a stand-in for the
     dlib+SAT stack so demos run without external assets."""

@@ -94,8 +94,12 @@ def bfmnet_name_map() -> List[Tuple[str, str, Tuple[str, ...], object]]:
                          "params", p + ("Conv_0", "kernel"), None))
             rows += _bn_entries(f"{tf_base}/expansion_1x1_conv2d",
                                 p + ("TFBatchNorm_0",))
-            rows.append((f"{tf_base}/depthwise_conv2d/separable_conv2d/"
-                         "depthwise_kernel", "params",
+            # tf.contrib.layers.separable_conv2d (tinynet.py:88-98) opens
+            # its default 'SeparableConv2d' scope and names the kernel
+            # 'depthwise_weights' [H, W, C, 1] (slim naming — NOT
+            # tf.layers.separable_conv2d's 'depthwise_kernel')
+            rows.append((f"{tf_base}/depthwise_conv2d/SeparableConv2d/"
+                         "depthwise_weights", "params",
                          p + ("Conv_1", "kernel"), _depthwise))
             rows += _bn_entries(f"{tf_base}/depthwise_conv2d",
                                 p + ("TFBatchNorm_1",))

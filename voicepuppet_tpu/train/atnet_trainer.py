@@ -18,7 +18,7 @@ from voicepuppet_tpu.config import Config
 from voicepuppet_tpu.models.atnet import ATNet, atnet_loss
 from voicepuppet_tpu.models.layers import l2_regularization
 from voicepuppet_tpu.parallel.mesh import (data_parallel_step, make_mesh,
-                                           shard_batch)
+                                           mesh_global_batch, shard_batch)
 from voicepuppet_tpu.train.optim import reference_adam
 from voicepuppet_tpu.train.state import TrainState
 
@@ -28,6 +28,9 @@ class ATNetTrainer:
                  width_mult: float = 1.0):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
+        # reference batch 16 (train_atnet.py:41) rounded up to the mesh
+        self.global_batch = mesh_global_batch(cfg.atnet.batch_size,
+                                              self.mesh)
         self.model = ATNet(cfg.atnet, pca_component, bn_axis="data",
                            width_mult=width_mult)
         self.eval_model = ATNet(cfg.atnet, pca_component, bn_axis=None,
@@ -87,3 +90,58 @@ class ATNetTrainer:
             if ckpt is not None:
                 ckpt.maybe_save(int(state.step), state)
         return state
+
+
+def main(argv=None):
+    """CLI mirroring train_atnet.py (voicepuppet/atvgnet/train_atnet.py:
+    106-141).  The reference reads the landmark-PCA assets through the
+    ``mean_file``/``components_file`` hparams that params.yml never defines
+    (bit-rot, SURVEY.md §2.4); here they load from
+    ``<model_dir>/lmk_mean.npy`` / ``<model_dir>/lmk_components.npy`` when
+    present and fall back to a synthetic orthonormal basis."""
+    import argparse
+    import os
+
+    from voicepuppet_tpu.config import load_config
+    from voicepuppet_tpu.data.generators import (ATNetBatcher, FileSource,
+                                                 prefetch_to_device)
+    from voicepuppet_tpu.models.atnet import synthetic_pca_component
+    from voicepuppet_tpu.train.checkpoint import CheckpointManager
+    from voicepuppet_tpu.train.metrics import MetricsLogger
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_path", required=True)
+    p.add_argument("--ckpt_dir", default="ckpt_atnet")
+    p.add_argument("--log_dir", default="log")
+    p.add_argument("--steps", type=int, default=None)
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.config_path)
+    mean_path = os.path.join(cfg.model_dir, "lmk_mean.npy")
+    comp_path = os.path.join(cfg.model_dir, "lmk_components.npy")
+    pca_mean = (np.load(mean_path) if os.path.exists(mean_path)
+                else np.zeros((cfg.atnet.landmark_size,), np.float32))
+    pca_component = (np.load(comp_path) if os.path.exists(comp_path)
+                     else synthetic_pca_component(
+                         cfg.atnet.pca_components,
+                         cfg.atnet.landmark_size))
+
+    trainer = ATNetTrainer(cfg, pca_component)
+    state = trainer.init_state()
+    tcfg = cfg.atnet.training
+    ckpt = CheckpointManager(args.ckpt_dir, tcfg.max_to_keep,
+                             tcfg.save_interval)
+    state = ckpt.restore(state)
+    logger = MetricsLogger(args.log_dir, "atnet")
+    src = FileSource(cfg.dataset.train_dataset_path, cfg)
+    # streams/pca_renorm take the [136, K] transpose (see
+    # tests/test_atvgnet.py:154); the model keeps [K, 136]
+    batcher = ATNetBatcher(cfg, src, pca_mean, pca_component.T,
+                           batch_size=trainer.global_batch)
+    steps = args.steps if args.steps is not None else tcfg.epochs
+    batches = prefetch_to_device(iter(batcher), trainer.mesh)
+    trainer.fit(state, batches, steps, logger, ckpt)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ from voicepuppet_tpu.models.bfmnet import (BFMNet, BFMNetLoss,
                                            make_mouth_mask)
 from voicepuppet_tpu.models.layers import l2_regularization
 from voicepuppet_tpu.parallel.mesh import (data_parallel_step, make_mesh,
-                                           shard_batch)
+                                           mesh_global_batch, shard_batch)
 from voicepuppet_tpu.train.optim import bfmnet_optimizer
 from voicepuppet_tpu.train.state import TrainState
 
@@ -46,6 +46,10 @@ class BFMNetTrainer:
                                      cfg.bfmnet.mouth_weight)
         self.loss_fn = BFMNetLoss(face_model.exBase, mouth_mask)
         self.mesh = mesh if mesh is not None else make_mesh()
+        # reference batch sizes (train_bfmnet.py:43) need not divide the
+        # mesh; batchers should produce this rounded-up global batch
+        self.global_batch = mesh_global_batch(cfg.bfmnet.batch_size,
+                                              self.mesh)
         self.tx = tx if tx is not None else bfmnet_optimizer(
             cfg.bfmnet.training)
         self._train_step = data_parallel_step(self._step, self.mesh)
@@ -171,7 +175,8 @@ def main(argv=None):
 
     train_src = FileSource(cfg.dataset.train_dataset_path, cfg)
     eval_src = FileSource(cfg.dataset.eval_dataset_path, cfg)
-    batcher = BFMNetBatcher(cfg, train_src)
+    batcher = BFMNetBatcher(cfg, train_src,
+                            batch_size=trainer.global_batch)
     eval_batcher = BFMNetBatcher(cfg, eval_src, shuffle=False)
 
     # rendered eval grids at eval cadence, the reference's de-facto

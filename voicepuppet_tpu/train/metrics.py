@@ -19,13 +19,24 @@ import numpy as np
 
 
 class MetricsLogger:
+    """JSONL metrics + stdout mirroring + TensorBoard event files.
+
+    ``tensorboard=True`` (default) additionally writes scalar/image
+    summaries in real TensorBoard format (utils/tb_writer.py — hand-rolled
+    wire encoding, no TF dependency), restoring the reference's
+    observability surface (train_pixrefer.py:101-131)."""
+
     def __init__(self, log_dir: str, name: str = "train",
-                 print_every: int = 1):
+                 print_every: int = 1, tensorboard: bool = True):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{name}_metrics.jsonl")
         self._f = open(self.path, "a")
         self.print_every = print_every
         self._t0 = time.time()
+        self._tb = None
+        if tensorboard:
+            from voicepuppet_tpu.utils.tb_writer import TBEventWriter
+            self._tb = TBEventWriter(os.path.join(log_dir, "tb", name))
 
     def log(self, step: int, **metrics):
         rec = {"step": int(step), "wall_s": round(time.time() - self._t0, 3)}
@@ -33,6 +44,11 @@ class MetricsLogger:
             rec[k] = float(np.asarray(v)) if not isinstance(v, str) else v
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k not in ("step", "wall_s") and not isinstance(v, str):
+                    self._tb.scalar(k, v, int(step))
+            self._tb.flush()
         if self.print_every and step % self.print_every == 0:
             parts = " ".join(f"{k}={rec[k]:.6g}" for k in metrics
                              if not isinstance(metrics[k], str))
@@ -49,9 +65,14 @@ class MetricsLogger:
                           255).astype(np.uint8)
         Image.fromarray(arr).save(
             os.path.join(img_dir, f"{name}_{step}.jpg"))
+        if self._tb is not None:
+            self._tb.image(name, arr, int(step))
+            self._tb.flush()
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class ProfilerHook:

@@ -47,9 +47,17 @@ def bfmnet_optimizer(training_cfg) -> optax.GradientTransformation:
 
 
 def gan_optimizer(training_cfg) -> optax.GradientTransformation:
-    """ref: pixrefer.py:396-407 (Adam, beta1 .5, exp decay, no clip)."""
+    """ref: pixrefer.py:396-407 (Adam, beta1 .5, exp decay, no clip).
+
+    The reference's D and G optimizers share one global_step, and BOTH
+    apply_gradients increment it — so global_step advances 2 per training
+    iteration while each optax optimizer here counts 1 per iteration.
+    Halving transition_steps reproduces the reference schedule *exactly*
+    under staircase: D sees floor(2N/1000) == floor(N/500), and G sees
+    floor((2N+1)/1000) == floor(N/500) too (an odd 2N+1 never lands on an
+    even multiple of 1000)."""
     return reference_adam(training_cfg.learning_rate,
-                          training_cfg.decay_steps,
+                          max(1, training_cfg.decay_steps // 2),
                           training_cfg.decay_rate,
                           beta1=training_cfg.beta1,
                           max_grad_norm=0.0)

@@ -21,7 +21,8 @@ from jax.sharding import PartitionSpec as P
 from voicepuppet_tpu.config import Config
 from voicepuppet_tpu.models import pixflow as pf
 from voicepuppet_tpu.models import pixrefer as px
-from voicepuppet_tpu.parallel.mesh import make_mesh, shard_batch
+from voicepuppet_tpu.parallel.mesh import (make_mesh, mesh_global_batch,
+                                           shard_batch)
 from voicepuppet_tpu.train.optim import gan_optimizer
 from voicepuppet_tpu.train.state import GANTrainState
 
@@ -32,6 +33,9 @@ class PixFlowTrainer:
         self.cfg = cfg
         self.img_size = image_size or cfg.pixflow.img_size
         self.mesh = mesh if mesh is not None else make_mesh()
+        # reference batch 3 (train_pixflow.py:36) rounded up to the mesh
+        self.global_batch = mesh_global_batch(cfg.pixflow.batch_size,
+                                              self.mesh)
         self.gen = pf.PixFlowNet(cfg.pixflow, axis_name="data")
         self.gen_eval = pf.PixFlowNet(cfg.pixflow, axis_name=None)
         self.disc = px.Discriminator(cfg.pixflow.ndf, axis_name="data")
@@ -167,10 +171,15 @@ def main(argv=None):
     state = ckpt.restore(state)
     logger = MetricsLogger(args.log_dir, "pixflow")
     src = FileSource(cfg.dataset.train_dataset_path, cfg, load_images=True)
-    batcher = PixFlowBatcher(cfg, src)
     steps = args.steps if args.steps is not None else tcfg.epochs
-    from voicepuppet_tpu.data.generators import prefetch_to_device
-    batches = prefetch_to_device(iter(batcher), trainer.mesh)
+    from voicepuppet_tpu.data.generators import (BackgroundBatches,
+                                                 prefetch_to_device)
+    # threaded decode pipeline (ref: tf.data num_parallel_calls=4)
+    bg = BackgroundBatches(
+        lambda i: iter(PixFlowBatcher(cfg, src, seed=i,
+                                      batch_size=trainer.global_batch)),
+        num_workers=4)
+    batches = prefetch_to_device(bg, trainer.mesh)
     trainer.fit(state, batches, steps, logger, ckpt)
 
 

@@ -32,7 +32,8 @@ from jax.sharding import PartitionSpec as P
 from voicepuppet_tpu.config import Config
 from voicepuppet_tpu.models import pixrefer as px
 from voicepuppet_tpu.models import vgg as vgg_mod
-from voicepuppet_tpu.parallel.mesh import make_mesh, shard_batch
+from voicepuppet_tpu.parallel.mesh import (make_mesh, mesh_global_batch,
+                                           shard_batch)
 from voicepuppet_tpu.train.optim import gan_optimizer
 from voicepuppet_tpu.train.state import GANTrainState
 
@@ -44,6 +45,9 @@ class PixReferTrainer:
         self.cfg = cfg
         self.img_size = image_size or cfg.pixrefer.img_size
         self.mesh = mesh if mesh is not None else make_mesh()
+        # reference batch 2 (train_pixrefer.py:36) rounded up to the mesh
+        self.global_batch = mesh_global_batch(cfg.pixrefer.batch_size,
+                                              self.mesh)
         self.gen = px.PixReferNet(cfg.pixrefer, axis_name="data")
         self.disc = px.Discriminator(cfg.pixrefer.ndf, axis_name="data")
         self.gen_eval = px.PixReferNet(cfg.pixrefer, axis_name=None)
@@ -218,10 +222,17 @@ def main(argv=None):
     state = ckpt.restore(state)
     logger = MetricsLogger(args.log_dir, "pixrefer")
     src = FileSource(cfg.dataset.train_dataset_path, cfg, load_images=True)
-    batcher = PixReferBatcher(cfg, src)
     steps = args.steps if args.steps is not None else tcfg.epochs
-    from voicepuppet_tpu.data.generators import prefetch_to_device
-    batches = prefetch_to_device(iter(batcher), trainer.mesh)
+    from voicepuppet_tpu.data.generators import (BackgroundBatches,
+                                                 prefetch_to_device)
+    # 512² JPEG decode + crop aug is host-bound single-threaded; worker
+    # threads overlap it with the device step (ref: tf.data
+    # num_parallel_calls=4, generator.py:502)
+    bg = BackgroundBatches(
+        lambda i: iter(PixReferBatcher(cfg, src, seed=i,
+                                       batch_size=trainer.global_batch)),
+        num_workers=4)
+    batches = prefetch_to_device(bg, trainer.mesh)
     trainer.fit(state, batches, steps, logger, ckpt)
 
 

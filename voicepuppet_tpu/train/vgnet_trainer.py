@@ -20,7 +20,8 @@ from jax.sharding import PartitionSpec as P
 
 from voicepuppet_tpu.config import Config
 from voicepuppet_tpu.models import vgnet as vg
-from voicepuppet_tpu.parallel.mesh import make_mesh, shard_batch
+from voicepuppet_tpu.parallel.mesh import (make_mesh, mesh_global_batch,
+                                           shard_batch)
 from voicepuppet_tpu.train.optim import reference_adam
 from voicepuppet_tpu.train.state import GANTrainState
 
@@ -29,6 +30,9 @@ class VGNetTrainer:
     def __init__(self, cfg: Config, mesh=None, alternative: int = 1000):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
+        # reference batch 4 (train_vgnet.py:41) rounded up to the mesh
+        self.global_batch = mesh_global_batch(cfg.vgnet.batch_size,
+                                              self.mesh)
         self.alternative = alternative
         self.gen = vg.VGNetGenerator(cfg.vgnet, bn_axis="data")
         self.disc = vg.VGNetDiscriminator(cfg.vgnet, bn_axis="data")
@@ -154,3 +158,58 @@ class VGNetTrainer:
             if ckpt is not None:
                 ckpt.maybe_save(int(state.step), state)
         return state
+
+
+def main(argv=None):
+    """CLI mirroring train_vgnet.py (voicepuppet/atvgnet/train_vgnet.py:
+    131-193): alternating D/G phases every ``alternative`` steps.  PCA
+    assets resolve like the ATNet trainer's (synthetic fallback)."""
+    import argparse
+    import os
+
+    import numpy as np
+
+    from voicepuppet_tpu.config import load_config
+    from voicepuppet_tpu.data.generators import (FileSource, VGNetBatcher,
+                                                 prefetch_to_device)
+    from voicepuppet_tpu.models.atnet import synthetic_pca_component
+    from voicepuppet_tpu.train.checkpoint import CheckpointManager
+    from voicepuppet_tpu.train.metrics import MetricsLogger
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_path", required=True)
+    p.add_argument("--ckpt_dir", default="ckpt_vgnet")
+    p.add_argument("--log_dir", default="log")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--alternative", type=int, default=1000,
+                   help="D/G phase length (train_vgnet.py:133)")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.config_path)
+    mean_path = os.path.join(cfg.model_dir, "lmk_mean.npy")
+    comp_path = os.path.join(cfg.model_dir, "lmk_components.npy")
+    pca_mean = (np.load(mean_path) if os.path.exists(mean_path)
+                else np.zeros((cfg.vgnet.landmark_size,), np.float32))
+    pca_component = (np.load(comp_path) if os.path.exists(comp_path)
+                     else synthetic_pca_component(
+                         6, cfg.vgnet.landmark_size))
+
+    trainer = VGNetTrainer(cfg, alternative=args.alternative)
+    state = trainer.init_state()
+    tcfg = cfg.vgnet.training
+    ckpt = CheckpointManager(args.ckpt_dir, tcfg.max_to_keep,
+                             tcfg.save_interval)
+    state = ckpt.restore(state)
+    logger = MetricsLogger(args.log_dir, "vgnet")
+    src = FileSource(cfg.dataset.train_dataset_path, cfg,
+                     load_images=True)
+    # streams/pca_renorm take the [136, K] transpose of the component
+    batcher = VGNetBatcher(cfg, src, pca_mean, pca_component.T,
+                           batch_size=trainer.global_batch)
+    steps = args.steps if args.steps is not None else tcfg.epochs
+    batches = prefetch_to_device(iter(batcher), trainer.mesh)
+    trainer.fit(state, batches, steps, logger, ckpt)
+
+
+if __name__ == "__main__":
+    main()
