@@ -328,30 +328,36 @@ class Synthesizer:
                 got = _unpack_yuv420(got, self.img_size)
             frames[p_start:p_start + p_n] = got
 
-        pending = None  # one-chunk lag bounds device memory to 2 chunks
-        for start in range(0, t, c):
-            n = min(c, t - start)
-            coeff_c = np.zeros((c, 257), np.float32)
-            coeff_c[:n] = coeff_seq[start:start + n]
-            ang_c = np.zeros((c, 3), np.float32)
-            ang_c[:n] = angles[start:start + n]
-            idx_c = np.zeros((c,), np.int32)
-            idx_c[:n] = bg_idx_all[start:start + n]
-            out, _, _ = prog(self.g_params, jnp.asarray(coeff_c),
-                             jnp.asarray(ang_c), bg_pool,
-                             jnp.asarray(idx_c), face3d_ref, fg_ref)
-            # async dispatch + early D2H: chunk k's transfer overlaps
-            # chunk k+1's compute; draining with a one-chunk lag keeps at
-            # most two chunks of frames alive in HBM
-            try:
-                out.copy_to_host_async()
-            except Exception:
-                pass
-            if pending is not None:
-                drain(*pending)
-            pending = (start, n, out)
-        if pending is not None:
-            drain(*pending)
+        # drain in ONE worker thread so the d2h wait + YUV unpack overlap
+        # the dispatch loop (numpy/PIL release the GIL); a single worker
+        # both bounds in-flight chunks (queue depth 2 -> at most 3 chunks
+        # of frames alive in HBM) and keeps writes to `frames` ordered —
+        # each task writes a disjoint slice
+        from concurrent.futures import ThreadPoolExecutor
+        futures = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            for start in range(0, t, c):
+                n = min(c, t - start)
+                coeff_c = np.zeros((c, 257), np.float32)
+                coeff_c[:n] = coeff_seq[start:start + n]
+                ang_c = np.zeros((c, 3), np.float32)
+                ang_c[:n] = angles[start:start + n]
+                idx_c = np.zeros((c,), np.int32)
+                idx_c[:n] = bg_idx_all[start:start + n]
+                out, _, _ = prog(self.g_params, jnp.asarray(coeff_c),
+                                 jnp.asarray(ang_c), bg_pool,
+                                 jnp.asarray(idx_c), face3d_ref, fg_ref)
+                # async dispatch + early D2H: chunk k's transfer overlaps
+                # chunk k+1's compute
+                try:
+                    out.copy_to_host_async()
+                except Exception:
+                    pass
+                while len(futures) >= 2:
+                    futures.pop(0).result()
+                futures.append(pool.submit(drain, start, n, out))
+            for f in futures:
+                f.result()
         return frames
 
     # ---- the full contract ----
