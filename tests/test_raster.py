@@ -153,3 +153,55 @@ def test_pallas_kernel_matches_sequential_spec(mesh):
                                              interpret=True)
     np.testing.assert_array_equal(np.asarray(got_mask[0]), want_mask)
     np.testing.assert_array_equal(np.asarray(got_img[0]), want_img)
+
+
+def test_pallas_rasterize_triangles_matches_spec(mesh):
+    """The interp-depth Mosaic kernel (interpret mode) matches the
+    sequential spec: depth exactly-interpolated, winner in-order
+    first-wins, border-override included (mesh_core.cpp:108-166)."""
+    from voicepuppet_tpu.ops.raster_pallas import rasterize_triangles_pallas
+    verts, tris, colors = mesh
+    want_d, want_t, want_w = raster_ref.rasterize_triangles_ref(
+        verts, tris, H, W)
+    out = rasterize_triangles_pallas(verts[None], tris, h=H, w=W,
+                                     interpret=True)
+    got_d = np.asarray(out.depth_buffer[0])
+    got_t = np.asarray(out.triangle_buffer[0])
+    got_w = np.asarray(out.barycentric_weight[0])
+    np.testing.assert_allclose(got_d, want_d, atol=1e-4)
+    cov = want_t >= 0
+    np.testing.assert_array_equal(got_t, want_t)
+    np.testing.assert_allclose(got_w[cov], want_w[cov], atol=1e-3)
+
+
+def test_pallas_render_texture_matches_xla():
+    from voicepuppet_tpu.ops.raster_pallas import render_texture_pallas
+    verts = np.array([[2.0, 2.0, 1.0], [28.0, 2.0, 1.0],
+                      [2.0, 28.0, 1.0]], np.float32)
+    tris = np.array([[0, 1, 2]], np.int32)
+    tex = np.zeros((16, 16, 3), np.float32)
+    tex[:, :8] = 1.0
+    tex_coords = np.array([[0.0, 0.0], [15.0, 0.0], [0.0, 15.0]],
+                          np.float32)
+    # bilinear: nearest sampling is discontinuous exactly on texel-center
+    # boundaries (round(7.5)) where cross-program fusion differences flip
+    # the texel; bilinear is continuous so backend parity is meaningful
+    img_x, d_x = raster.render_texture(verts[None], tris, tex, tex_coords,
+                                       tris, h=32, w=32, bb=32,
+                                       bilinear=True)
+    img_p, d_p = render_texture_pallas(verts[None], tris, tex, tex_coords,
+                                       tris, h=32, w=32, win=32,
+                                       bilinear=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-5)
+    # the raster buffers themselves are bit-identical across backends
+    out_x = raster.rasterize_triangles(verts[None], tris, h=32, w=32,
+                                       bb=32)
+    from voicepuppet_tpu.ops.raster_pallas import rasterize_triangles_pallas
+    out_p = rasterize_triangles_pallas(verts[None], tris, h=32, w=32,
+                                       win=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_p.triangle_buffer),
+                                  np.asarray(out_x.triangle_buffer))
+    np.testing.assert_array_equal(np.asarray(out_p.depth_buffer),
+                                  np.asarray(out_x.depth_buffer))

@@ -251,21 +251,18 @@ def _interp_fragments(vertices: jax.Array, triangles: jax.Array, h: int,
     return fy * w + fx, depth, valid, setup
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "bb"))
-def rasterize_triangles(vertices: jax.Array, triangles: jax.Array,
-                        h: int = 224, w: int = 224,
-                        bb: int = 6) -> RasterOut:
-    """Triangle-id + barycentric rasterization
-    (ref: mesh_core.cpp:108-166).  vertices: [B, V, 3]."""
+def winner_weights(vertices: jax.Array, triangles: jax.Array,
+                   winner: jax.Array, h: int, w: int) -> RasterOut:
+    """Winner ids [B, h*w] (F = uncovered) + depth -> RasterOut with
+    barycentrics recomputed at each winning pixel (gather, not store);
+    shared by the XLA and Mosaic backends.  ``winner`` may carry depth as
+    a tuple (winner, depth_buf)."""
+    winner, depth_buf = winner
     b = vertices.shape[0]
     f = triangles.shape[0]
-    pix, depth, valid, setup = jax.vmap(
-        functools.partial(_interp_fragments, triangles=triangles, h=h,
-                          w=w, bb=bb))(vertices)
-    winner, depth_buf = _resolve(pix, depth, valid, f, h * w)
-
-    # Recompute barycentrics at each winning pixel (gather, not store);
-    # batch axis folded into one axis-0 gather per field.
+    setup = jax.vmap(functools.partial(_triangle_setup,
+                                       triangles=triangles))(vertices)
+    winner = winner.reshape(b, h * w)
     covered = winner < f
     safe = jnp.where(covered, winner, 0)
     gidx = (safe + (jnp.arange(b, dtype=jnp.int32) * f)[:, None]
@@ -289,14 +286,25 @@ def rasterize_triangles(vertices: jax.Array, triangles: jax.Array,
     return RasterOut(depth_buf.reshape(b, h, w), tri_out, weights)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "bb", "bilinear"))
-def render_texture(vertices: jax.Array, triangles: jax.Array,
-                   texture: jax.Array, tex_coords: jax.Array,
-                   tex_triangles: jax.Array, h: int = 224, w: int = 224,
-                   bb: int = 6, bilinear: bool = True):
-    """UV-textured rasterization (ref: mesh_core.cpp:234-333).
-    vertices: [B, V, 3]; texture: [th, tw, C]; tex_coords: [Vt, 2+]."""
-    out = rasterize_triangles(vertices, triangles, h=h, w=w, bb=bb)
+@functools.partial(jax.jit, static_argnames=("h", "w", "bb"))
+def rasterize_triangles(vertices: jax.Array, triangles: jax.Array,
+                        h: int = 224, w: int = 224,
+                        bb: int = 6) -> RasterOut:
+    """Triangle-id + barycentric rasterization
+    (ref: mesh_core.cpp:108-166).  vertices: [B, V, 3]."""
+    f = triangles.shape[0]
+    pix, depth, valid, _setup = jax.vmap(
+        functools.partial(_interp_fragments, triangles=triangles, h=h,
+                          w=w, bb=bb))(vertices)
+    winner, depth_buf = _resolve(pix, depth, valid, f, h * w)
+    return winner_weights(vertices, triangles, (winner, depth_buf), h, w)
+
+
+def sample_texture(out: RasterOut, texture: jax.Array,
+                   tex_coords: jax.Array, tex_triangles: jax.Array,
+                   bilinear: bool = True):
+    """UV sampling at winning pixels (mesh_core.cpp:262-323); shared by
+    backends."""
     covered = out.triangle_buffer >= 0
     safe_tri = jnp.where(covered, out.triangle_buffer, 0)
     tex_tri = tex_triangles[safe_tri]               # [B, h, w, 3]
@@ -324,6 +332,18 @@ def render_texture(vertices: jax.Array, triangles: jax.Array,
         sample = texture[yi, xi]
     image = jnp.where(covered[..., None], sample, 0.0)
     return image, out.depth_buffer
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "bb", "bilinear"))
+def render_texture(vertices: jax.Array, triangles: jax.Array,
+                   texture: jax.Array, tex_coords: jax.Array,
+                   tex_triangles: jax.Array, h: int = 224, w: int = 224,
+                   bb: int = 6, bilinear: bool = True):
+    """UV-textured rasterization (ref: mesh_core.cpp:234-333).
+    vertices: [B, V, 3]; texture: [th, tw, C]; tex_coords: [Vt, 2+]."""
+    out = rasterize_triangles(vertices, triangles, h=h, w=w, bb=bb)
+    return sample_texture(out, texture, tex_coords, tex_triangles,
+                          bilinear)
 
 
 @functools.partial(jax.jit, static_argnames=("num_vertices",))

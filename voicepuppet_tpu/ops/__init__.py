@@ -1,5 +1,7 @@
 from voicepuppet_tpu.ops.raster_pallas import (render_colors_pallas,
-                                               rasterize_winner_pallas)
+                                               rasterize_triangles_pallas,
+                                               rasterize_winner_pallas,
+                                               render_texture_pallas)
 
 
 def render_colors_auto(vertices, colors, triangles, h: int = 224,
@@ -19,4 +21,5 @@ def render_colors_auto(vertices, colors, triangles, h: int = 224,
 
 
 __all__ = ["render_colors_pallas", "rasterize_winner_pallas",
+           "rasterize_triangles_pallas", "render_texture_pallas",
            "render_colors_auto"]

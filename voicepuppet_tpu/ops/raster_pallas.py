@@ -214,6 +214,157 @@ def rasterize_winner_pallas(vertices: jax.Array, triangles: jax.Array,
     return winner, depth
 
 
+def _raster_kernel_interp(tri_ref, depth_ref, winner_ref, *, h: int,
+                          w: int, num_tri: int, win: int, fb: int,
+                          chunk: int):
+    """Variant for ``_rasterize_triangles_core`` / ``_render_texture_core``
+    semantics (mesh_core.cpp:108-166, 234-333): barycentric-INTERPOLATED
+    per-pixel depth, and a 2px canvas border that unconditionally passes
+    the inside test (mesh_core.cpp:148, 292).  Table rows carry 19 f32s
+    (the flat 16 + z0, z1, z2), padded to 20."""
+    chunk_id = pl.program_id(1)
+
+    @pl.when(chunk_id == 0)
+    def _():
+        depth_ref[...] = jnp.full((fb, h, w), DEPTH_INIT, jnp.float32)
+        winner_ref[...] = jnp.full((fb, h, w), num_tri, jnp.int32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (win, w), 1).astype(
+        jnp.float32)
+    row_off = jax.lax.broadcasted_iota(jnp.int32, (win, w), 0).astype(
+        jnp.float32)
+    col_border = (col < 2.0) | (col > w - 3.0)
+
+    def body(i, _):
+        tri_id = chunk_id * chunk + i
+        for fr in range(fb):
+            p0x = tri_ref[fr, i, 0]
+            p0y = tri_ref[fr, i, 1]
+            v0x = tri_ref[fr, i, 2]
+            v0y = tri_ref[fr, i, 3]
+            v1x = tri_ref[fr, i, 4]
+            v1y = tri_ref[fr, i, 5]
+            dot00 = tri_ref[fr, i, 6]
+            dot01 = tri_ref[fr, i, 7]
+            dot11 = tri_ref[fr, i, 8]
+            inv_deno = tri_ref[fr, i, 9]
+            x_min = tri_ref[fr, i, 11]
+            x_max = tri_ref[fr, i, 12]
+            y_min = tri_ref[fr, i, 13]
+            y_max = tri_ref[fr, i, 14]
+            y0w = pl.multiple_of(tri_ref[fr, i, 15].astype(jnp.int32), 8)
+            z0 = tri_ref[fr, i, 16]
+            z1 = tri_ref[fr, i, 17]
+            z2 = tri_ref[fr, i, 18]
+
+            rows = row_off + y0w.astype(jnp.float32)
+            px = col - p0x
+            py = rows - p0y
+            dot02 = v0x * px + v0y * py
+            dot12 = v1x * px + v1y * py
+            u = (dot11 * dot02 - dot01 * dot12) * inv_deno
+            v = (dot00 * dot12 - dot01 * dot02) * inv_deno
+            inside = (u >= 0.0) & (v >= 0.0) & (u + v < 1.0)
+            border = col_border | (rows < 2.0) | (rows > h - 3.0)
+            in_box = ((col >= x_min) & (col <= x_max)
+                      & (rows >= y_min) & (rows <= y_max))
+            # weight[0]=1-u-v -> p0, weight[1]=v -> p1, weight[2]=u -> p2
+            # (get_point_weight, mesh_core.cpp:53-82)
+            pdepth = (1.0 - u - v) * z0 + v * z1 + u * z2
+
+            d_win = depth_ref[fr, pl.ds(y0w, win), :]
+            update = (inside | border) & in_box & (pdepth > d_win)
+            depth_ref[fr, pl.ds(y0w, win), :] = jnp.where(
+                update, pdepth, d_win)
+            w_win = winner_ref[fr, pl.ds(y0w, win), :]
+            winner_ref[fr, pl.ds(y0w, win), :] = jnp.where(
+                update, jnp.int32(tri_id), w_win)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "win", "fb", "interpret"))
+def rasterize_winner_interp_pallas(vertices: jax.Array,
+                                   triangles: jax.Array, h: int = 224,
+                                   w: int = 224, win: int = WIN,
+                                   fb: Optional[int] = None,
+                                   interpret: bool = False):
+    """Winner/depth buffers under the interpolated-depth + border-override
+    semantics (mesh_core.cpp:108-166)."""
+    assert win % 8 == 0 and win >= 8
+    b = vertices.shape[0]
+    f = triangles.shape[0]
+    if fb is None:
+        fb = _fb_for_batch(b)
+    assert b % fb == 0
+    # 20-wide rows: keep the (fb, chunk, 20) f32 SMEM block <= 32 KB
+    chunk = max(8, (32768 // (fb * 20 * 4)) // 8 * 8)
+    verts = vertices.astype(jnp.float32)
+    table = _triangle_table(verts, triangles, h, w, win, pad_to=chunk)
+    tri_z = verts[:, triangles, 2]                      # [B, F, 3]
+    f_pad = table.shape[1]
+    if f_pad != f:
+        tri_z = jnp.concatenate(
+            [tri_z, jnp.zeros((b, f_pad - f, 3), jnp.float32)], axis=1)
+    table = jnp.concatenate(
+        [table, tri_z, jnp.zeros((b, f_pad, 1), jnp.float32)], axis=-1)
+    nc = f_pad // chunk
+
+    kernel = functools.partial(_raster_kernel_interp, h=h, w=w, num_tri=f,
+                               win=win, fb=fb, chunk=chunk)
+    depth, winner = pl.pallas_call(
+        kernel,
+        grid=(b // fb, nc),
+        in_specs=[pl.BlockSpec((fb, chunk, 20),
+                               lambda bi, ci: (bi, ci, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
+        interpret=interpret,
+    )(table)
+    return winner, depth
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "win", "fb", "interpret"))
+def rasterize_triangles_pallas(vertices: jax.Array, triangles: jax.Array,
+                               h: int = 224, w: int = 224, win: int = WIN,
+                               fb: Optional[int] = None,
+                               interpret: bool = False):
+    """Mosaic fast path for face3d.raster.rasterize_triangles
+    (mesh_core.cpp:108-166): winner kernel + shared XLA barycentric
+    recompute.  Returns a face3d.raster.RasterOut."""
+    from voicepuppet_tpu.face3d.raster import winner_weights
+    winner, depth = rasterize_winner_interp_pallas(
+        vertices, triangles, h, w, win=win, fb=fb, interpret=interpret)
+    return winner_weights(vertices.astype(jnp.float32), triangles,
+                          (winner, depth), h, w)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "win", "fb", "bilinear",
+                                    "interpret"))
+def render_texture_pallas(vertices: jax.Array, triangles: jax.Array,
+                          texture: jax.Array, tex_coords: jax.Array,
+                          tex_triangles: jax.Array, h: int = 224,
+                          w: int = 224, win: int = WIN,
+                          fb: Optional[int] = None, bilinear: bool = True,
+                          interpret: bool = False):
+    """Mosaic fast path for face3d.raster.render_texture
+    (mesh_core.cpp:234-333)."""
+    from voicepuppet_tpu.face3d.raster import sample_texture
+    out = rasterize_triangles_pallas(vertices, triangles, h, w, win=win,
+                                     fb=fb, interpret=interpret)
+    return sample_texture(out, texture, tex_coords, tex_triangles,
+                          bilinear)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("h", "w", "win", "fb", "interpret"))
 def render_colors_pallas(vertices: jax.Array, colors: jax.Array,
