@@ -95,30 +95,56 @@ class BFMNet(nn.Module):
     cfg: BFMNetConfig
     bn_axis: Optional[str] = None  # sync-BN mesh axis for DP training
 
-    @nn.compact
-    def __call__(self, ears, mfccs, seq_len, train: bool = True):
+    def setup(self):
+        # setup-based (attribute names ARE the scope names, so the param
+        # tree is identical to the previous nn.compact form) so streaming
+        # can drive encode/decode separately (pipeline/streaming.py);
+        # all dropouts honor ``train`` internally, so passing the training
+        # drop rate unconditionally is equivalent to the old
+        # zero-when-eval construction
         c = self.cfg
-        drop = c.training.drop_rate if train else 0.0
-        enc = MfccEncoder(c.thinresnet_output_channels,
-                          c.encode_embedding_size,
-                          drop_rate=drop,
-                          width_mult=c.backbone_width_mult,
-                          bn_axis=self.bn_axis,
-                          name="mfcc_encoder")(mfccs, train=train)
-        x = nn.Dense(c.encode_embedding_size,
-                     kernel_init=nn.initializers.xavier_uniform(),
-                     name="rnn_in")(enc)
-        x = leaky_relu(x)
-        x = masked_gru(c.rnn_hidden_size, c.rnn_layers, drop,
-                       axis_name=self.bn_axis,
-                       name="rnn_module")(x, seq_len, train=train)
+        drop = c.training.drop_rate
+        self.mfcc_encoder = MfccEncoder(c.thinresnet_output_channels,
+                                        c.encode_embedding_size,
+                                        drop_rate=drop,
+                                        width_mult=c.backbone_width_mult,
+                                        bn_axis=self.bn_axis)
+        self.rnn_in = nn.Dense(c.encode_embedding_size,
+                               kernel_init=nn.initializers.xavier_uniform())
+        self.rnn_module = masked_gru(c.rnn_hidden_size, c.rnn_layers,
+                                     drop, axis_name=self.bn_axis)
+        self.bfm_coeff_decoder = BFMCoeffDecoder(c.bfm_coeff_size, drop)
+
+    def encode(self, mfccs, train: bool = True):
+        """mfccs [B, T*5, 80] -> pre-GRU embeddings [B, T, emb]
+        (the convolutional, non-recurrent trunk)."""
+        enc = self.mfcc_encoder(mfccs, train=train)
+        return leaky_relu(self.rnn_in(enc))
+
+    def decode(self, x, ears, seq_len, train: bool = True, rnn_state=None,
+               return_rnn_state: bool = False):
+        """GRU + coefficient head.  ``rnn_state``/``return_rnn_state``
+        carry the hidden state across chunks — the recurrence is exactly
+        streamable (pipeline/streaming.py)."""
+        x = self.rnn_module(x, seq_len, train=train,
+                            initial_state=rnn_state,
+                            return_state=return_rnn_state)
+        if return_rnn_state:
+            x, new_state = x
         # ear scaling (bfmnet.py:210): ears * [-2, -2, -2, -4]
         scale = jnp.asarray([[[-2.0, -2.0, -2.0, -4.0]]], jnp.float32)
         ears4 = ears * scale
-        out = BFMCoeffDecoder(c.bfm_coeff_size, drop,
-                              name="bfm_coeff_decoder")(x, ears4,
-                                                        train=train)
+        out = self.bfm_coeff_decoder(x, ears4, train=train)
+        if return_rnn_state:
+            return out, new_state
         return out
+
+    def __call__(self, ears, mfccs, seq_len, train: bool = True,
+                 rnn_state=None, return_rnn_state: bool = False):
+        x = self.encode(mfccs, train=train)
+        return self.decode(x, ears, seq_len, train=train,
+                           rnn_state=rnn_state,
+                           return_rnn_state=return_rnn_state)
 
 
 class BFMNetLoss:

@@ -262,26 +262,37 @@ class masked_gru(nn.Module):
     observably equivalent for the outputs (positions past seq_len are
     zeroed here exactly as there, and the final state is never consumed —
     bfmnet.py:58-63 uses only the output sequence).  Output dropout mirrors
-    tf.contrib.rnn.DropoutWrapper(output_keep_prob=1-drop_rate)."""
+    tf.contrib.rnn.DropoutWrapper(output_keep_prob=1-drop_rate).
+
+    ``initial_state`` / ``return_state`` support exact chunked streaming
+    inference: the GRU recurrence is streamable by construction — running
+    it chunk-by-chunk with the carried state equals the whole-clip run
+    (pipeline/streaming.py)."""
     num_units: int
     num_layers: int = 1
     drop_rate: float = 0.25
     axis_name: Optional[str] = None  # set when running inside shard_map
 
     @nn.compact
-    def __call__(self, inputs, seq_len, train: bool = True):
+    def __call__(self, inputs, seq_len, train: bool = True,
+                 initial_state=None, return_state: bool = False):
         b, t, _ = inputs.shape
         x = inputs
+        finals = []
         for layer in range(self.num_layers):
             cell = nn.scan(TFGRUCell, variable_broadcast="params",
                            split_rngs={"params": False},
                            in_axes=1, out_axes=1)(self.num_units)
-            h0 = jnp.zeros((b, self.num_units), inputs.dtype)
+            if initial_state is not None:
+                h0 = initial_state[layer]
+            else:
+                h0 = jnp.zeros((b, self.num_units), inputs.dtype)
             if self.axis_name is not None:
                 # mark the initial carry as device-varying so the scan's
                 # carry types agree under shard_map VMA checking
                 h0 = jax.lax.pvary(h0, self.axis_name)
-            _, outputs = cell(h0, x)
+            final, outputs = cell(h0, x)
+            finals.append(final)
             # dynamic_rnn masking: zero outputs past seq_len
             mask = (jnp.arange(t)[None, :] < seq_len[:, None])
             outputs = outputs * mask[..., None]
@@ -289,6 +300,8 @@ class masked_gru(nn.Module):
                 outputs = nn.Dropout(rate=self.drop_rate,
                                      deterministic=False)(outputs)
             x = outputs
+        if return_state:
+            return x, finals
         return x
 
 

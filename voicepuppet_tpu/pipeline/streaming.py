@@ -1,0 +1,213 @@
+"""Online (chunked) synthesis — a serving capability beyond the reference.
+
+The reference (and the batch ``Synthesizer``) needs the whole audio clip
+before producing any frame (infer_bfmvid.py:182-243).  This module
+synthesizes incrementally: feed PCM as it arrives, get video frames back
+with bounded latency — the talking-head-from-a-live-mic serving shape.
+
+Exactness model:
+  * The GRU is *exactly* streamable: running chunk-by-chunk with the
+    carried hidden state (BFMNet.decode rnn_state) reproduces the
+    whole-clip recurrence bit-for-bit given identical encoder inputs.
+  * The convolutional trunk (MfccNet, temporal receptive field ~22 video
+    frames) is streamed with overlap: each step encodes
+    ``ctx_left + chunk + ctx_right`` frames and keeps the middle
+    ``chunk`` — interior frames see their full receptive field, so the
+    approximation error vs the whole-clip run decays geometrically in
+    the context sizes (pinned by tests/test_streaming.py).
+  * Latency = ``ctx_right`` frames (default 12 ≈ 0.48 s at 25 fps) plus
+    one chunk.
+
+One jitted program per stream (static window shapes), reusing the batch
+Synthesizer's frame program for rendering.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voicepuppet_tpu.pipeline.synthesize import (Identity, Synthesizer,
+                                                 splice_coeff_sequence)
+
+
+class StreamingCoeffPredictor:
+    """pcm chunks in -> expression-coefficient chunks out.
+
+    Maintains the GRU hidden state across chunks and the pcm lookback /
+    lookahead needed by the conv trunk.  All shapes static: one compile.
+    """
+
+    def __init__(self, synth: Synthesizer, chunk: int = 16,
+                 ctx_left: int = 24, ctx_right: int = 12,
+                 rng_seed: int = 0):
+        self.synth = synth
+        self.cfg = synth.cfg
+        self.chunk = chunk
+        self.ctx_left = ctx_left
+        self.ctx_right = ctx_right
+        cfg = self.cfg
+        self._scale = cfg.frame_mfcc_scale           # 5 mel rows / frame
+        self._hop = cfg.mel.hop_step
+        self._win = cfg.mel.win_length
+        self._fps_samples = cfg.frame_wav_scale      # 640 pcm / frame
+        w_frames = ctx_left + chunk + ctx_right
+        # pcm span covering W frames of mel rows (generator.py:478)
+        self._pcm_len = self._hop * (w_frames * self._scale - 1) + self._win
+        self._buffer = np.zeros((0,), np.float32)
+        self._next_frame = 0                          # next frame to emit
+        self._rng = np.random.RandomState(rng_seed)
+        self._state = None
+        self._done = False
+
+        model = synth.bfmnet
+        variables = synth.bfm_vars
+        n_layers = synth.cfg.bfmnet.rnn_layers
+        units = synth.cfg.bfmnet.rnn_hidden_size
+
+        def program(pcm_window, ears, state):
+            mfcc = synth.frontend(pcm_window)         # [1, W*5, 80]
+
+            def run(m, mfcc, ears, state):
+                enc = m.encode(mfcc, train=False)     # [1, W, emb]
+                mid = enc[:, ctx_left:ctx_left + chunk]
+                seq = jnp.full((1,), chunk, jnp.int32)
+                return m.decode(mid, ears, seq, train=False,
+                                rnn_state=state, return_rnn_state=True)
+
+            return model.apply(variables, mfcc, ears, state, method=run)
+
+        self._program = jax.jit(program)
+        self._zero_state = [jnp.zeros((1, units), jnp.float32)
+                            for _ in range(n_layers)]
+
+    @property
+    def frames_buffered(self) -> int:
+        """Frames of audio received but not yet emitted."""
+        total = self._buffer.shape[0] // self._fps_samples
+        return max(0, total - self._next_frame)
+
+    def feed(self, pcm: np.ndarray) -> List[np.ndarray]:
+        """Append pcm; return zero or more [chunk, 64] coefficient
+        blocks as they become computable (each needs ctx_right frames of
+        lookahead)."""
+        self._buffer = np.concatenate(
+            [self._buffer, np.asarray(pcm, np.float32)])
+        out = []
+        while True:
+            block = self._try_step(flush=False)
+            if block is None:
+                return out
+            out.append(block)
+
+    def flush(self) -> List[np.ndarray]:
+        """End of stream: zero-pad the lookahead and emit the tail
+        (partial last chunk trimmed to the frames actually fed)."""
+        self._done = True
+        out = []
+        while True:
+            block = self._try_step(flush=True)
+            if block is None:
+                return out
+            out.append(block)
+
+    def _try_step(self, flush: bool) -> Optional[np.ndarray]:
+        s = self._next_frame
+        total_frames = self._buffer.shape[0] // self._fps_samples
+        avail = total_frames - s
+        if avail <= 0:
+            return None
+        if not flush and avail < self.chunk + self.ctx_right:
+            return None
+        emit = min(self.chunk, avail)
+
+        # pcm window for frames [s - ctx_left, s + chunk + ctx_right),
+        # zero-padded at the stream edges (the conv trunk's SAME padding
+        # at the clip boundary becomes mel-of-silence here — the
+        # documented start-of-stream approximation)
+        start_f = s - self.ctx_left
+        start_sample = start_f * self._scale * self._hop
+        window = np.zeros((self._pcm_len,), np.float32)
+        lo = max(0, start_sample)
+        hi = min(self._buffer.shape[0], start_sample + self._pcm_len)
+        if hi > lo:
+            window[lo - start_sample:hi - start_sample] = \
+                self._buffer[lo:hi]
+
+        # inference ear signal: random sub-0.01 (infer_bfmvid.py:182)
+        ears = self._rng.rand(1, self.chunk, 1).astype(np.float32) / 100.0
+        state = self._state if self._state is not None else \
+            self._zero_state
+        exp, new_state = self._program(jnp.asarray(window[None]),
+                                       jnp.asarray(ears), state)
+        # the carried state must be the recurrence after the frames we
+        # actually EMITTED; with a full chunk that's the final state
+        self._state = new_state if emit == self.chunk else None
+        if emit < self.chunk:
+            self._done = True
+        self._next_frame = s + emit
+        return np.asarray(exp[0, :emit])
+
+
+@dataclasses.dataclass
+class _SwayState:
+    angles: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3, np.float64))
+    step: float = 0.005
+    bound: float = 0.03
+
+    def take(self, n: int) -> np.ndarray:
+        out = np.zeros((n, 3), np.float32)
+        for i in range(n):
+            self.angles += self.step
+            if abs(self.angles[1]) > self.bound:
+                self.step = -self.step
+            out[i] = self.angles
+        return out
+
+
+class StreamingSynthesizer:
+    """Full streaming loop: pcm chunks in -> rendered frame blocks out.
+
+    Reuses the batch Synthesizer's cached frame program per chunk, so
+    per-chunk work is identical to the batch path (3DMM decode -> Mosaic
+    raster -> PixRefer G -> composite) with the same YUV/bf16 serving
+    configuration."""
+
+    def __init__(self, synth: Synthesizer, identity: Identity,
+                 face3d_ref: np.ndarray, fg_ref: np.ndarray,
+                 background: Optional[np.ndarray] = None,
+                 ctx_left: int = 24, ctx_right: int = 12):
+        self.synth = synth
+        self.identity = identity
+        self.face3d_ref = face3d_ref
+        self.fg_ref = fg_ref
+        s = synth.img_size
+        self.background = (background if background is not None
+                           else np.zeros((1, s, s, 3), np.float32))
+        if self.background.ndim == 3:
+            self.background = self.background[None]
+        self.coeffs = StreamingCoeffPredictor(synth, chunk=synth.chunk,
+                                              ctx_left=ctx_left,
+                                              ctx_right=ctx_right)
+        self._sway = _SwayState()
+
+    def _render(self, exp_block: np.ndarray) -> np.ndarray:
+        coeff_seq = np.asarray(splice_coeff_sequence(
+            self.identity.bfmcoeff,
+            jnp.asarray(exp_block[None])))
+        angles = self._sway.take(coeff_seq.shape[0])
+        return self.synth.render_frames(coeff_seq, self.identity,
+                                        self.face3d_ref, self.fg_ref,
+                                        self.background, angles=angles)
+
+    def feed(self, pcm: np.ndarray) -> List[np.ndarray]:
+        """pcm chunk in -> list of [chunk, S, S, 3] uint8 frame blocks."""
+        return [self._render(b) for b in self.coeffs.feed(pcm)]
+
+    def flush(self) -> List[np.ndarray]:
+        return [self._render(b) for b in self.coeffs.flush()]
