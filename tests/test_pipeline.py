@@ -282,3 +282,32 @@ def test_golden_frame_regression():
         f"{(diff > 32).mean() * 100:.2f}% of pixels off by >32")
     # the frame must not be blank/black (golden has real dynamic range)
     assert got.std() > 10.0
+
+
+def test_spatial_partitioned_synthesizer(cfg, demo):
+    """mesh_partition='spatial' shards the GAN's height dim over the
+    8-device mesh (GSPMD conv halo exchanges) and matches the
+    single-device output — the low-latency streaming serving mode."""
+    import jax.numpy as jnp
+    from voicepuppet_tpu.parallel.mesh import make_mesh
+    from voicepuppet_tpu.pipeline.synthesize import Synthesizer
+
+    synthd, identity = demo
+    mesh = make_mesh()
+    synth1 = Synthesizer(cfg, synthd.face_model, synthd.bfm_vars,
+                         synthd.g_params, chunk=4,
+                         gan_dtype=jnp.float32, transfer_format="rgb8")
+    synthS = Synthesizer(cfg, synthd.face_model, synthd.bfm_vars,
+                         synthd.g_params, chunk=4, mesh=mesh,
+                         mesh_partition="spatial",
+                         gan_dtype=jnp.float32, transfer_format="rgb8")
+    assert synthS.chunk == 4  # spatial mode does NOT round chunk up
+    coeff = np.asarray(np.random.RandomState(4).randn(4, 257),
+                       np.float32) * 0.1
+    ref = np.zeros((S, S, 3), np.float32)
+    bg = np.zeros((1, S, S, 3), np.float32)
+    f1 = synth1.render_frames(coeff, identity, ref, ref, bg)
+    fS = synthS.render_frames(coeff, identity, ref, ref, bg)
+    diff = np.abs(f1.astype(int) - fS.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.05

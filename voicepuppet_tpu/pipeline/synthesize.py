@@ -151,6 +151,7 @@ class Synthesizer:
                  bfmnet_variables, pixrefer_g_params,
                  chunk: int = 16, raster_size: int = 224,
                  raster_bb: int = 12, mesh=None,
+                 mesh_partition: str = "frames",
                  gan_dtype=jnp.bfloat16,
                  transfer_format: str = "yuv420"):
         """``mesh``: an optional jax.sharding.Mesh with a ``data`` axis —
@@ -158,6 +159,13 @@ class Synthesizer:
         parallelism: the post-GRU frame path is embarrassingly parallel,
         SURVEY.md §2.3; on a v5e-8 this multiplies frame throughput by the
         slice size).
+
+        ``mesh_partition``: ``"frames"`` (default) shards the frame chunk
+        over the mesh — maximum throughput.  ``"spatial"`` replicates
+        frames and shards the GAN's HEIGHT dimension instead (GSPMD
+        inserts the conv halo exchanges over ICI) — that scales
+        SINGLE-frame latency, the right mode for low-latency streaming
+        where a chunk may be a handful of frames.
 
         ``gan_dtype``: activation dtype for the PixRefer generator forward
         (params stay float32).  bfloat16 is the serving default — the 4x4
@@ -171,6 +179,8 @@ class Synthesizer:
         transfers raw RGB.  ``render_frames`` returns RGB uint8 either way.
         """
         assert transfer_format in ("rgb8", "yuv420")
+        assert mesh_partition in ("frames", "spatial")
+        self.mesh_partition = mesh_partition
         self.cfg = cfg
         self.face_model = face_model
         self.fm = morph.device_bfm(face_model)
@@ -180,7 +190,7 @@ class Synthesizer:
         self.gen = px.PixReferNet(cfg.pixrefer, dtype=gan_dtype)
         self.g_params = pixrefer_g_params
         self.mesh = mesh
-        if mesh is not None:
+        if mesh is not None and mesh_partition == "frames":
             n_dev = mesh.shape["data"]
             chunk = max(chunk, n_dev) - (max(chunk, n_dev) % n_dev)
         self.chunk = chunk
@@ -219,6 +229,12 @@ class Synthesizer:
         (ty0, ty1, tx0, tx1), (sy0, sy1, sx0, sx1) = paste
         rs = self.raster_size
         s = self.img_size
+        spatial = (self.mesh is not None
+                   and self.mesh_partition == "spatial")
+        if spatial:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            hw_sharding = NamedSharding(self.mesh,
+                                        P(None, "data", None, None))
 
         @jax.jit
         def frame_program(g_params, coeff, angles, bg_pool, bg_idx,
@@ -251,6 +267,16 @@ class Synthesizer:
             fg_ref_b = jnp.broadcast_to(fg_ref[None], (c, s, s, 3))
             fg_inputs = jnp.concatenate(
                 [fg_ref_b, jnp.zeros_like(fg_ref_b)], axis=-1)
+            if spatial:
+                # shard the GAN spatially over the mesh: GSPMD inserts
+                # the conv halo exchanges; frames stay replicated, so a
+                # 1-frame chunk still uses every chip
+                inputs = jax.lax.with_sharding_constraint(inputs,
+                                                          hw_sharding)
+                fg_inputs = jax.lax.with_sharding_constraint(fg_inputs,
+                                                             hw_sharding)
+                background = jax.lax.with_sharding_constraint(background,
+                                                              hw_sharding)
 
             outputs, alphas, outputs_fg = self.gen.apply(
                 {"params": g_params}, px.preprocess(inputs),
@@ -263,7 +289,7 @@ class Synthesizer:
                 out = jnp.clip(frames * 255.0, 0, 255).astype(jnp.uint8)
             return out, frames_fg, canvas
 
-        if self.mesh is not None:
+        if self.mesh is not None and self.mesh_partition == "frames":
             from jax.sharding import NamedSharding, PartitionSpec as P
             rep = NamedSharding(self.mesh, P())
             sh = NamedSharding(self.mesh, P("data"))
