@@ -139,3 +139,21 @@ def test_streaming_synthesizer_end_to_end(setup):
     # frames vary over time and are non-degenerate
     assert got.std(axis=0).max() > 0
     assert got.std() > 5.0
+
+
+def test_streaming_buffer_is_trimmed(setup):
+    """Live-stream memory contract: pcm no future window can read is
+    dropped, so the buffer stays bounded regardless of stream length."""
+    from voicepuppet_tpu.pipeline.streaming import StreamingCoeffPredictor
+    cfg, synth, identity = setup
+    sp = StreamingCoeffPredictor(synth, chunk=16, ctx_left=24, ctx_right=12)
+    sp._rng = _ZeroRng()
+    for _ in range(6):
+        sp.feed(_pcm(cfg, 16))
+    # bound: ctx_left + chunk + ctx_right frames of lookback+lookahead
+    max_samples = (sp.ctx_left + sp.chunk + sp.ctx_right + 2) * 640
+    assert sp._buffer.shape[0] <= max_samples
+    # feeding after flush raises instead of silently resetting the GRU
+    sp.flush()
+    with pytest.raises(RuntimeError):
+        sp.feed(_pcm(cfg, 4))

@@ -891,9 +891,21 @@ class BackgroundBatches:
                 for batch in make_iterator(idx):
                     if self._stopping.is_set():
                         return
-                    self._q.put(batch)
+                    # bounded put so a stopping consumer can't leave the
+                    # producer blocked forever on a full queue
+                    while not self._stopping.is_set():
+                        try:
+                            self._q.put(batch, timeout=0.2)
+                            break
+                        except queue_mod.Full:
+                            continue
             finally:
-                self._q.put(self._STOP)
+                while not self._stopping.is_set():
+                    try:
+                        self._q.put(self._STOP, timeout=0.2)
+                        break
+                    except queue_mod.Full:
+                        continue
 
         for i in range(num_workers):
             t = threading.Thread(target=run, args=(i,), daemon=True)
@@ -914,13 +926,16 @@ class BackgroundBatches:
         raise StopIteration
 
     def close(self):
+        """Stop producers and join them (their puts time out against the
+        stopping flag, so a full queue cannot deadlock the join)."""
         self._stopping.set()
-        # unblock producers stuck on a full queue
         try:
             while True:
                 self._q.get_nowait()
         except Exception:
             pass
+        for t in self._threads:
+            t.join(timeout=5.0)
 
 
 def prefetch_to_device(iterator, mesh=None, size: int = 2):

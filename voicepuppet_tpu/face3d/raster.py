@@ -252,16 +252,18 @@ def _interp_fragments(vertices: jax.Array, triangles: jax.Array, h: int,
 
 
 def winner_weights(vertices: jax.Array, triangles: jax.Array,
-                   winner: jax.Array, h: int, w: int) -> RasterOut:
-    """Winner ids [B, h*w] (F = uncovered) + depth -> RasterOut with
-    barycentrics recomputed at each winning pixel (gather, not store);
-    shared by the XLA and Mosaic backends.  ``winner`` may carry depth as
-    a tuple (winner, depth_buf)."""
-    winner, depth_buf = winner
+                   winner: jax.Array, depth_buf: jax.Array, h: int, w: int,
+                   setup=None) -> RasterOut:
+    """Winner ids [B, h*w] (F = uncovered) + depth buffer -> RasterOut
+    with barycentrics recomputed at each winning pixel (gather, not
+    store); shared by the XLA and Mosaic backends.  ``setup``: the
+    per-triangle constants if the caller already computed them (avoids
+    relying on XLA CSE to dedupe the vmapped setup)."""
     b = vertices.shape[0]
     f = triangles.shape[0]
-    setup = jax.vmap(functools.partial(_triangle_setup,
-                                       triangles=triangles))(vertices)
+    if setup is None:
+        setup = jax.vmap(functools.partial(_triangle_setup,
+                                           triangles=triangles))(vertices)
     winner = winner.reshape(b, h * w)
     covered = winner < f
     safe = jnp.where(covered, winner, 0)
@@ -293,11 +295,12 @@ def rasterize_triangles(vertices: jax.Array, triangles: jax.Array,
     """Triangle-id + barycentric rasterization
     (ref: mesh_core.cpp:108-166).  vertices: [B, V, 3]."""
     f = triangles.shape[0]
-    pix, depth, valid, _setup = jax.vmap(
+    pix, depth, valid, setup = jax.vmap(
         functools.partial(_interp_fragments, triangles=triangles, h=h,
                           w=w, bb=bb))(vertices)
     winner, depth_buf = _resolve(pix, depth, valid, f, h * w)
-    return winner_weights(vertices, triangles, (winner, depth_buf), h, w)
+    return winner_weights(vertices, triangles, winner, depth_buf, h, w,
+                          setup=setup)
 
 
 def sample_texture(out: RasterOut, texture: jax.Array,

@@ -344,7 +344,7 @@ def rasterize_triangles_pallas(vertices: jax.Array, triangles: jax.Array,
     winner, depth = rasterize_winner_interp_pallas(
         vertices, triangles, h, w, win=win, fb=fb, interpret=interpret)
     return winner_weights(vertices.astype(jnp.float32), triangles,
-                          (winner, depth), h, w)
+                          winner, depth, h, w)
 
 
 @functools.partial(jax.jit,

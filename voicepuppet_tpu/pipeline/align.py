@@ -101,17 +101,25 @@ def align_for_identity(img: np.ndarray, lmk5: np.ndarray,
 
 
 def head_sway_angles(num_frames: int, shift: float = 0.005,
-                     bound: float = 0.03) -> np.ndarray:
+                     bound: float = 0.03, state=None):
     """The idle head-sway pose sequence: all three euler angles advance by
     ``shift`` per frame, direction flipping when the yaw passes ±bound
     (ref: infer_bfmvid.py:76-89, mutation happens before each render).
-    Returns [T, 3] float32."""
+    Returns [T, 3] float32 — or ``(angles, new_state)`` when ``state`` is
+    given, so chunked/streaming callers continue the walk exactly
+    (pipeline/streaming.py).  ``state``: (angles [3] float64, step)."""
     out = np.zeros((num_frames, 3), np.float32)
-    angles = np.zeros(3, np.float64)
-    step = shift
+    if state is None:
+        angles, step = np.zeros(3, np.float64), shift
+        return_state = False
+    else:
+        angles, step = np.array(state[0], np.float64), state[1]
+        return_state = True
     for i in range(num_frames):
         angles += step
         if angles[1] > bound or angles[1] < -bound:
             step = -step
         out[i] = angles
+    if return_state:
+        return out, (angles, step)
     return out

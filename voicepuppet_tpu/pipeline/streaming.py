@@ -24,7 +24,6 @@ Synthesizer's frame program for rendering.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Iterator, List, Optional
 
 import jax
@@ -59,6 +58,7 @@ class StreamingCoeffPredictor:
         # pcm span covering W frames of mel rows (generator.py:478)
         self._pcm_len = self._hop * (w_frames * self._scale - 1) + self._win
         self._buffer = np.zeros((0,), np.float32)
+        self._buffer_start = 0        # absolute sample index of buffer[0]
         self._next_frame = 0                          # next frame to emit
         self._rng = np.random.RandomState(rng_seed)
         self._state = None
@@ -88,21 +88,38 @@ class StreamingCoeffPredictor:
     @property
     def frames_buffered(self) -> int:
         """Frames of audio received but not yet emitted."""
-        total = self._buffer.shape[0] // self._fps_samples
+        total = ((self._buffer_start + self._buffer.shape[0])
+                 // self._fps_samples)
         return max(0, total - self._next_frame)
 
     def feed(self, pcm: np.ndarray) -> List[np.ndarray]:
         """Append pcm; return zero or more [chunk, 64] coefficient
         blocks as they become computable (each needs ctx_right frames of
         lookahead)."""
+        if self._done:
+            raise RuntimeError(
+                "feed() after flush(): the GRU state was finalized on a "
+                "partial last chunk — start a new StreamingCoeffPredictor")
         self._buffer = np.concatenate(
             [self._buffer, np.asarray(pcm, np.float32)])
         out = []
         while True:
             block = self._try_step(flush=False)
             if block is None:
+                self._trim_buffer()
                 return out
             out.append(block)
+
+    def _trim_buffer(self):
+        """Drop pcm no future window can read (everything left of
+        ``next_frame - ctx_left``) — a live stream otherwise accumulates
+        its whole history and feed() turns O(total)."""
+        keep_abs = max(0, (self._next_frame - self.ctx_left)
+                       * self._scale * self._hop)
+        drop = keep_abs - self._buffer_start
+        if drop > 0:
+            self._buffer = self._buffer[drop:]
+            self._buffer_start = keep_abs
 
     def flush(self) -> List[np.ndarray]:
         """End of stream: zero-pad the lookahead and emit the tail
@@ -117,7 +134,8 @@ class StreamingCoeffPredictor:
 
     def _try_step(self, flush: bool) -> Optional[np.ndarray]:
         s = self._next_frame
-        total_frames = self._buffer.shape[0] // self._fps_samples
+        total_samples = self._buffer_start + self._buffer.shape[0]
+        total_frames = total_samples // self._fps_samples
         avail = total_frames - s
         if avail <= 0:
             return None
@@ -128,15 +146,17 @@ class StreamingCoeffPredictor:
         # pcm window for frames [s - ctx_left, s + chunk + ctx_right),
         # zero-padded at the stream edges (the conv trunk's SAME padding
         # at the clip boundary becomes mel-of-silence here — the
-        # documented start-of-stream approximation)
+        # documented start-of-stream approximation).  Sample indices are
+        # absolute; the buffer holds [_buffer_start, total_samples).
         start_f = s - self.ctx_left
         start_sample = start_f * self._scale * self._hop
         window = np.zeros((self._pcm_len,), np.float32)
-        lo = max(0, start_sample)
-        hi = min(self._buffer.shape[0], start_sample + self._pcm_len)
+        lo = max(self._buffer_start, start_sample)
+        hi = min(total_samples, start_sample + self._pcm_len)
         if hi > lo:
             window[lo - start_sample:hi - start_sample] = \
-                self._buffer[lo:hi]
+                self._buffer[lo - self._buffer_start:
+                             hi - self._buffer_start]
 
         # inference ear signal: random sub-0.01 (infer_bfmvid.py:182)
         ears = self._rng.rand(1, self.chunk, 1).astype(np.float32) / 100.0
@@ -151,23 +171,6 @@ class StreamingCoeffPredictor:
             self._done = True
         self._next_frame = s + emit
         return np.asarray(exp[0, :emit])
-
-
-@dataclasses.dataclass
-class _SwayState:
-    angles: np.ndarray = dataclasses.field(
-        default_factory=lambda: np.zeros(3, np.float64))
-    step: float = 0.005
-    bound: float = 0.03
-
-    def take(self, n: int) -> np.ndarray:
-        out = np.zeros((n, 3), np.float32)
-        for i in range(n):
-            self.angles += self.step
-            if abs(self.angles[1]) > self.bound:
-                self.step = -self.step
-            out[i] = self.angles
-        return out
 
 
 class StreamingSynthesizer:
@@ -194,13 +197,18 @@ class StreamingSynthesizer:
         self.coeffs = StreamingCoeffPredictor(synth, chunk=synth.chunk,
                                               ctx_left=ctx_left,
                                               ctx_right=ctx_right)
-        self._sway = _SwayState()
+        # carried idle-sway walk: exactly continues the batch driver's
+        # sequence across chunks (align.head_sway_angles state form;
+        # ref: infer_bfmvid.py:76-89)
+        self._sway_state = (np.zeros(3, np.float64), 0.005)
 
     def _render(self, exp_block: np.ndarray) -> np.ndarray:
+        from voicepuppet_tpu.pipeline.align import head_sway_angles
         coeff_seq = np.asarray(splice_coeff_sequence(
             self.identity.bfmcoeff,
             jnp.asarray(exp_block[None])))
-        angles = self._sway.take(coeff_seq.shape[0])
+        angles, self._sway_state = head_sway_angles(
+            coeff_seq.shape[0], state=self._sway_state)
         return self.synth.render_frames(coeff_seq, self.identity,
                                         self.face3d_ref, self.fg_ref,
                                         self.background, angles=angles)

@@ -565,6 +565,9 @@ def main(argv=None):
     cfg = load_config(args.config_path)
     if (args.bfmnet_ckpt is None) != (args.pixrefer_ckpt is None):
         p.error("--bfmnet_ckpt and --pixrefer_ckpt must be given together")
+    if (args.landmark_model is None) != (args.rnet_npz is None):
+        p.error("--landmark_model and --rnet_npz must be given together "
+                "(the novel-face identity path needs both)")
     if args.bfmnet_ckpt is not None:
         # the product path: compose the two trained checkpoints
         # (infer_bfmvid.py:207-218); identity still comes from

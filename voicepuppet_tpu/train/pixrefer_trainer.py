@@ -233,7 +233,10 @@ def main(argv=None):
                                        batch_size=trainer.global_batch)),
         num_workers=4)
     batches = prefetch_to_device(bg, trainer.mesh)
-    trainer.fit(state, batches, steps, logger, ckpt)
+    try:
+        trainer.fit(state, batches, steps, logger, ckpt)
+    finally:
+        bg.close()
 
 
 if __name__ == "__main__":
