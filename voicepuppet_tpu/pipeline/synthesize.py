@@ -356,10 +356,11 @@ class Synthesizer:
 
         # drain in ONE worker thread so the d2h wait + YUV unpack overlap
         # the dispatch loop (numpy/PIL release the GIL); a single worker
-        # both bounds in-flight chunks (queue depth 2 -> at most 3 chunks
-        # of frames alive in HBM) and keeps writes to `frames` ordered —
-        # each task writes a disjoint slice
+        # keeps writes to `frames` ordered — each task writes a disjoint
+        # slice.  Pipeline depth 4 rides out tunnel-latency jitter (a
+        # packed uint8 chunk is ~6-13 MB in HBM — depth is cheap)
         from concurrent.futures import ThreadPoolExecutor
+        depth = 4
         futures = []
         with ThreadPoolExecutor(max_workers=1) as pool:
             for start in range(0, t, c):
@@ -379,7 +380,7 @@ class Synthesizer:
                     out.copy_to_host_async()
                 except Exception:
                     pass
-                while len(futures) >= 2:
+                while len(futures) >= depth:
                     futures.pop(0).result()
                 futures.append(pool.submit(drain, start, n, out))
             for f in futures:
