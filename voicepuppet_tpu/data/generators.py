@@ -883,6 +883,7 @@ class BackgroundBatches:
         import threading
 
         self._q = queue_mod.Queue(maxsize=max(prefetch, num_workers))
+        self._empty_exc = queue_mod.Empty
         self._threads = []
         self._stopping = threading.Event()
 
@@ -918,7 +919,15 @@ class BackgroundBatches:
 
     def __next__(self):
         while self._live > 0:
-            item = self._q.get()
+            # after close() producers may exit without enqueuing _STOP
+            # (they bail on the stopping flag), so a blocking get would
+            # hang forever; poll the flag instead
+            if self._stopping.is_set():
+                raise StopIteration
+            try:
+                item = self._q.get(timeout=0.2)
+            except self._empty_exc:
+                continue
             if item is self._STOP:
                 self._live -= 1
                 continue

@@ -50,10 +50,11 @@ class MfccEncoder(nn.Module):
     bn_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, mfccs, train: bool = True):
+    def __call__(self, mfccs, train: bool = True, valid_rows=None):
         x = mfccs[..., None]  # [B, T*5, 80, 1]
         x = MfccNet(self.output_channels, width_mult=self.width_mult,
-                    bn_axis=self.bn_axis)(x, train=train)
+                    bn_axis=self.bn_axis)(x, train=train,
+                                          valid_rows=valid_rows)
         x = max_pool_same(x, self.pooling, self.pooling)
         b = x.shape[0]
         x = x.reshape(b, -1, self.output_channels)  # [B, T, 256]
@@ -115,10 +116,11 @@ class BFMNet(nn.Module):
                                      drop, axis_name=self.bn_axis)
         self.bfm_coeff_decoder = BFMCoeffDecoder(c.bfm_coeff_size, drop)
 
-    def encode(self, mfccs, train: bool = True):
+    def encode(self, mfccs, train: bool = True, valid_rows=None):
         """mfccs [B, T*5, 80] -> pre-GRU embeddings [B, T, emb]
-        (the convolutional, non-recurrent trunk)."""
-        enc = self.mfcc_encoder(mfccs, train=train)
+        (the convolutional, non-recurrent trunk).  ``valid_rows`` [B]
+        enables exact bucket-padding (MfccNet docstring)."""
+        enc = self.mfcc_encoder(mfccs, train=train, valid_rows=valid_rows)
         return leaky_relu(self.rnn_in(enc))
 
     def decode(self, x, ears, seq_len, train: bool = True, rnn_state=None,
@@ -140,8 +142,18 @@ class BFMNet(nn.Module):
         return out
 
     def __call__(self, ears, mfccs, seq_len, train: bool = True,
-                 rnn_state=None, return_rnn_state: bool = False):
-        x = self.encode(mfccs, train=train)
+                 rnn_state=None, return_rnn_state: bool = False,
+                 mask_time: bool = False):
+        """``mask_time=True`` re-zeroes CNN activations past seq_len*5 at
+        every stage, making a time-padded (bucketed) run equal the
+        exact-length run for frames < seq_len — the serving path for
+        arbitrary clip durations without per-duration recompiles.  OFF by
+        default: training keeps the reference's unmasked-padding BN
+        semantics (padded rows DO enter train-mode batch stats there)."""
+        # mel rows per video frame = the encoder's time-pool factor
+        scale = self.mfcc_encoder.pooling[0]
+        valid = seq_len * scale if mask_time else None
+        x = self.encode(mfccs, train=train, valid_rows=valid)
         return self.decode(x, ears, seq_len, train=train,
                            rnn_state=rnn_state,
                            return_rnn_state=return_rnn_state)

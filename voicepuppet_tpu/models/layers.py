@@ -92,7 +92,7 @@ class InvertedResidual(nn.Module):
     bn_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, time_mask=None):
         inputs = x
         in_ch = x.shape[-1]
         # expansion_conv2d (tinynet.py:46-65)
@@ -102,6 +102,12 @@ class InvertedResidual(nn.Module):
         x = TFBatchNorm(axis_name=self.bn_axis)(
             x, use_running_average=not train)
         x = self.activation(x)
+        if time_mask is not None:
+            # bucket-padding exactness (MfccNet valid_rows): the depthwise
+            # conv below has temporal extent, so the padded rows the 1x1
+            # expansion just made nonzero must be re-zeroed to reproduce
+            # its 'SAME' padding at the true boundary
+            x = jnp.where(time_mask, x, 0.0)
         # depthwise_conv2d (tinynet.py:84-103)
         ch = x.shape[-1]
         x = nn.Conv(ch, self.dw_kernel, strides=self.stride, padding="SAME",
@@ -147,7 +153,31 @@ class MfccNet(nn.Module):
     widths: Tuple[int, ...] = (32, 64, 64, 128, 192, 256, 256, 256)
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, valid_rows=None):
+        """``valid_rows`` (optional [B] int32): number of valid TIME rows.
+        When set, activations past each row's length are re-zeroed after
+        every stage, which makes a time-padded run EQUAL the exact-length
+        run for valid rows: each conv then sees (values, zeros beyond) —
+        exactly its 'SAME' zero padding at the true boundary — and pools
+        see -inf there, exactly their 'SAME' padding.  Time is never
+        downsampled in this net, so the mask is constant depth-wise.
+        Serving surface for bucket-padded clip lengths
+        (pipeline/synthesize.py predict_expressions)."""
+        if valid_rows is None:
+            tmask = None
+            m0 = lambda v: v
+            pool = max_pool_same
+        else:
+            rows = jax.lax.broadcasted_iota(jnp.int32, x.shape[:2], 1)
+            tmask = (rows < valid_rows[:, None])[..., None, None]
+
+            def m0(v):
+                return jnp.where(tmask, v, 0.0)
+
+            def pool(v, window, stride):
+                neg = jnp.where(tmask, v, -jnp.inf)
+                return m0(max_pool_same(neg, window, stride))
+
         act = self.activation
         # the bfmnet variant's stem/head conv uses plain relu even though
         # blocks use relu6 (bfmnet/tinynet.py:26); the atvgnet variant
@@ -158,32 +188,33 @@ class MfccNet(nn.Module):
         ir = lambda f, e=6: InvertedResidual(w(f), (1, 1), e,
                                              activation=act,
                                              bn_axis=self.bn_axis)
-        x = ConvBN(w(wd[0]), (9, 5), (1, 2), activation=stem_act,
-                   bn_axis=self.bn_axis)(x, train)              # block0_0
-        x = ir(wd[1], 1)(x, train)                               # block1_0
-        x = ir(wd[2])(x, train)                                  # block2_0
-        x = max_pool_same(x, (2, 2), (1, 2))
-        x = ir(wd[2])(x, train)                                  # block2_1
-        x = ir(wd[3])(x, train)                                  # block3_0
-        x = max_pool_same(x, (2, 2), (1, 2))
-        x = ir(wd[3])(x, train)                                  # block3_1
-        x = ir(wd[3])(x, train)                                  # block3_2
-        x = ir(wd[4])(x, train)                                  # block4_0
-        x = max_pool_same(x, (2, 2), (1, 2))
-        x = ir(wd[4])(x, train)                                  # block4_1
-        x = ir(wd[4])(x, train)                                  # block4_2
-        x = ir(wd[4])(x, train)                                  # block4_3
-        x = ir(wd[5])(x, train)                                  # block5_0
-        x = ir(wd[5])(x, train)                                  # block5_1
-        x = ir(wd[5])(x, train)                                  # block5_2
-        x = ir(wd[6])(x, train)                                  # block6_0
-        x = max_pool_same(x, (2, 2), (1, 2))
-        x = ir(wd[6])(x, train)                                  # block6_1
-        x = ir(wd[6])(x, train)                                  # block6_2
-        x = ir(wd[7])(x, train)                                  # block7_0
-        x = ConvBN(self.output_channels, (1, 1), (1, 1),
-                   activation=stem_act,
-                   bn_axis=self.bn_axis)(x, train)               # block8_0
+        x = m0(x)
+        x = m0(ConvBN(w(wd[0]), (9, 5), (1, 2), activation=stem_act,
+                      bn_axis=self.bn_axis)(x, train))           # block0_0
+        x = m0(ir(wd[1], 1)(x, train, tmask))                    # block1_0
+        x = m0(ir(wd[2])(x, train, tmask))                       # block2_0
+        x = pool(x, (2, 2), (1, 2))
+        x = m0(ir(wd[2])(x, train, tmask))                       # block2_1
+        x = m0(ir(wd[3])(x, train, tmask))                       # block3_0
+        x = pool(x, (2, 2), (1, 2))
+        x = m0(ir(wd[3])(x, train, tmask))                       # block3_1
+        x = m0(ir(wd[3])(x, train, tmask))                       # block3_2
+        x = m0(ir(wd[4])(x, train, tmask))                       # block4_0
+        x = pool(x, (2, 2), (1, 2))
+        x = m0(ir(wd[4])(x, train, tmask))                       # block4_1
+        x = m0(ir(wd[4])(x, train, tmask))                       # block4_2
+        x = m0(ir(wd[4])(x, train, tmask))                       # block4_3
+        x = m0(ir(wd[5])(x, train, tmask))                       # block5_0
+        x = m0(ir(wd[5])(x, train, tmask))                       # block5_1
+        x = m0(ir(wd[5])(x, train, tmask))                       # block5_2
+        x = m0(ir(wd[6])(x, train, tmask))                       # block6_0
+        x = pool(x, (2, 2), (1, 2))
+        x = m0(ir(wd[6])(x, train, tmask))                       # block6_1
+        x = m0(ir(wd[6])(x, train, tmask))                       # block6_2
+        x = m0(ir(wd[7])(x, train, tmask))                       # block7_0
+        x = m0(ConvBN(self.output_channels, (1, 1), (1, 1),
+                      activation=stem_act,
+                      bn_axis=self.bn_axis)(x, train))           # block8_0
         return x
 
 
@@ -258,10 +289,10 @@ class masked_gru(nn.Module):
     """tf.nn.dynamic_rnn(sequence_length=...) *output* semantics over a
     TFGRUCell stack (ref: bfmnet.py:44-69): scan over time, then zero the
     outputs past each row's length.  dynamic_rnn additionally freezes the
-    carried state past seq_len; this implementation does not, which is
-    observably equivalent for the outputs (positions past seq_len are
-    zeroed here exactly as there, and the final state is never consumed —
-    bfmnet.py:58-63 uses only the output sequence).  Output dropout mirrors
+    carried state past seq_len; with ``return_state=True`` the returned
+    finals reproduce that by reading the pre-mask output at t=seq_len-1
+    (h0 for seq_len=0) — for a GRU the output IS the state, so this equals
+    the frozen carry.  Output dropout mirrors
     tf.contrib.rnn.DropoutWrapper(output_keep_prob=1-drop_rate).
 
     ``initial_state`` / ``return_state`` support exact chunked streaming
@@ -291,8 +322,14 @@ class masked_gru(nn.Module):
                 # mark the initial carry as device-varying so the scan's
                 # carry types agree under shard_map VMA checking
                 h0 = jax.lax.pvary(h0, self.axis_name)
-            final, outputs = cell(h0, x)
-            finals.append(final)
+            _, outputs = cell(h0, x)
+            # dynamic_rnn final-state semantics: the carry freezes at each
+            # row's seq_len, i.e. final = output at t=seq_len-1 (GRU
+            # output == state), falling back to h0 for empty rows
+            idx = jnp.clip(seq_len.astype(jnp.int32) - 1, 0, t - 1)
+            at_len = jnp.take_along_axis(outputs, idx[:, None, None],
+                                         axis=1)[:, 0]
+            finals.append(jnp.where((seq_len > 0)[:, None], at_len, h0))
             # dynamic_rnn masking: zero outputs past seq_len
             mask = (jnp.arange(t)[None, :] < seq_len[:, None])
             outputs = outputs * mask[..., None]

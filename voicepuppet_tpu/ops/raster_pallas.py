@@ -110,7 +110,8 @@ def _triangle_table(vertices: jax.Array, triangles: jax.Array,
 
 
 def _raster_kernel(tri_ref, depth_ref, winner_ref, *, h: int, w: int,
-                   num_tri: int, win: int, fb: int, chunk: int):
+                   num_tri: int, win: int, fb: int, chunk: int,
+                   unroll: int = 4):
     chunk_id = pl.program_id(1)
 
     @pl.when(chunk_id == 0)
@@ -123,51 +124,58 @@ def _raster_kernel(tri_ref, depth_ref, winner_ref, *, h: int, w: int,
     row_off = jax.lax.broadcasted_iota(jnp.int32, (win, w), 0).astype(
         jnp.float32)
 
-    def body(i, _):
-        tri_id = chunk_id * chunk + i
-        # python-unrolled over the fb interleaved frames: fb independent
-        # read-modify-write chains for the compiler to overlap
-        for fr in range(fb):
-            p0x = tri_ref[fr, i, 0]
-            p0y = tri_ref[fr, i, 1]
-            v0x = tri_ref[fr, i, 2]
-            v0y = tri_ref[fr, i, 3]
-            v1x = tri_ref[fr, i, 4]
-            v1y = tri_ref[fr, i, 5]
-            dot00 = tri_ref[fr, i, 6]
-            dot01 = tri_ref[fr, i, 7]
-            dot11 = tri_ref[fr, i, 8]
-            inv_deno = tri_ref[fr, i, 9]
-            flat_depth = tri_ref[fr, i, 10]
-            x_min = tri_ref[fr, i, 11]
-            x_max = tri_ref[fr, i, 12]
-            y_min = tri_ref[fr, i, 13]
-            y_max = tri_ref[fr, i, 14]
-            y0w = pl.multiple_of(tri_ref[fr, i, 15].astype(jnp.int32), 8)
+    def one(i, fr):
+        p0x = tri_ref[fr, i, 0]
+        p0y = tri_ref[fr, i, 1]
+        v0x = tri_ref[fr, i, 2]
+        v0y = tri_ref[fr, i, 3]
+        v1x = tri_ref[fr, i, 4]
+        v1y = tri_ref[fr, i, 5]
+        dot00 = tri_ref[fr, i, 6]
+        dot01 = tri_ref[fr, i, 7]
+        dot11 = tri_ref[fr, i, 8]
+        inv_deno = tri_ref[fr, i, 9]
+        flat_depth = tri_ref[fr, i, 10]
+        x_min = tri_ref[fr, i, 11]
+        x_max = tri_ref[fr, i, 12]
+        y_min = tri_ref[fr, i, 13]
+        y_max = tri_ref[fr, i, 14]
+        y0w = pl.multiple_of(tri_ref[fr, i, 15].astype(jnp.int32), 8)
 
-            rows = row_off + y0w.astype(jnp.float32)
-            px = col - p0x
-            py = rows - p0y
-            dot02 = v0x * px + v0y * py
-            dot12 = v1x * px + v1y * py
-            u = (dot11 * dot02 - dot01 * dot12) * inv_deno
-            v = (dot00 * dot12 - dot01 * dot02) * inv_deno
-            inside = (u >= 0.0) & (v >= 0.0) & (u + v < 1.0)
-            in_box = ((col >= x_min) & (col <= x_max)
-                      & (rows >= y_min) & (rows <= y_max))
+        rows = row_off + y0w.astype(jnp.float32)
+        px = col - p0x
+        py = rows - p0y
+        dot02 = v0x * px + v0y * py
+        dot12 = v1x * px + v1y * py
+        u = (dot11 * dot02 - dot01 * dot12) * inv_deno
+        v = (dot00 * dot12 - dot01 * dot02) * inv_deno
+        inside = (u >= 0.0) & (v >= 0.0) & (u + v < 1.0)
+        in_box = ((col >= x_min) & (col <= x_max)
+                  & (rows >= y_min) & (rows <= y_max))
 
-            d_win = depth_ref[fr, pl.ds(y0w, win), :]
-            update = inside & in_box & (flat_depth > d_win)
-            # unconditional stores: a per-triangle @pl.when skip was
-            # measured 1.6x SLOWER than predicated writes (branch stalls)
-            depth_ref[fr, pl.ds(y0w, win), :] = jnp.where(
-                update, flat_depth, d_win)
-            w_win = winner_ref[fr, pl.ds(y0w, win), :]
-            winner_ref[fr, pl.ds(y0w, win), :] = jnp.where(
-                update, jnp.int32(tri_id), w_win)
+        d_win = depth_ref[fr, pl.ds(y0w, win), :]
+        update = inside & in_box & (flat_depth > d_win)
+        # unconditional stores: a per-triangle @pl.when skip was
+        # measured 1.6x SLOWER than predicated writes (branch stalls)
+        depth_ref[fr, pl.ds(y0w, win), :] = jnp.where(
+            update, flat_depth, d_win)
+        w_win = winner_ref[fr, pl.ds(y0w, win), :]
+        winner_ref[fr, pl.ds(y0w, win), :] = jnp.where(
+            update, jnp.int32(chunk_id * chunk + i), w_win)
+
+    def body(j, _):
+        # python-unrolled over the fb interleaved frames (fb independent
+        # read-modify-write chains for the compiler to overlap) and over
+        # `unroll` consecutive triangles (amortizes loop bookkeeping:
+        # measured 36.6 -> 34.3 ms per 16 frames at 70k tris, bit-exact
+        # since same-frame updates stay in triangle order)
+        for u_ in range(unroll):
+            i = j * unroll + u_
+            for fr in range(fb):
+                one(i, fr)
         return 0
 
-    jax.lax.fori_loop(0, chunk, body, 0)
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
 
 
 @functools.partial(jax.jit,
@@ -216,7 +224,7 @@ def rasterize_winner_pallas(vertices: jax.Array, triangles: jax.Array,
 
 def _raster_kernel_interp(tri_ref, depth_ref, winner_ref, *, h: int,
                           w: int, num_tri: int, win: int, fb: int,
-                          chunk: int):
+                          chunk: int, unroll: int = 4):
     """Variant for ``_rasterize_triangles_core`` / ``_render_texture_core``
     semantics (mesh_core.cpp:108-166, 234-333): barycentric-INTERPOLATED
     per-pixel depth, and a 2px canvas border that unconditionally passes
@@ -235,53 +243,57 @@ def _raster_kernel_interp(tri_ref, depth_ref, winner_ref, *, h: int,
         jnp.float32)
     col_border = (col < 2.0) | (col > w - 3.0)
 
-    def body(i, _):
+    def one(i, fr):
         tri_id = chunk_id * chunk + i
-        for fr in range(fb):
-            p0x = tri_ref[fr, i, 0]
-            p0y = tri_ref[fr, i, 1]
-            v0x = tri_ref[fr, i, 2]
-            v0y = tri_ref[fr, i, 3]
-            v1x = tri_ref[fr, i, 4]
-            v1y = tri_ref[fr, i, 5]
-            dot00 = tri_ref[fr, i, 6]
-            dot01 = tri_ref[fr, i, 7]
-            dot11 = tri_ref[fr, i, 8]
-            inv_deno = tri_ref[fr, i, 9]
-            x_min = tri_ref[fr, i, 11]
-            x_max = tri_ref[fr, i, 12]
-            y_min = tri_ref[fr, i, 13]
-            y_max = tri_ref[fr, i, 14]
-            y0w = pl.multiple_of(tri_ref[fr, i, 15].astype(jnp.int32), 8)
-            z0 = tri_ref[fr, i, 16]
-            z1 = tri_ref[fr, i, 17]
-            z2 = tri_ref[fr, i, 18]
+        p0x = tri_ref[fr, i, 0]
+        p0y = tri_ref[fr, i, 1]
+        v0x = tri_ref[fr, i, 2]
+        v0y = tri_ref[fr, i, 3]
+        v1x = tri_ref[fr, i, 4]
+        v1y = tri_ref[fr, i, 5]
+        dot00 = tri_ref[fr, i, 6]
+        dot01 = tri_ref[fr, i, 7]
+        dot11 = tri_ref[fr, i, 8]
+        inv_deno = tri_ref[fr, i, 9]
+        x_min = tri_ref[fr, i, 11]
+        x_max = tri_ref[fr, i, 12]
+        y_min = tri_ref[fr, i, 13]
+        y_max = tri_ref[fr, i, 14]
+        y0w = pl.multiple_of(tri_ref[fr, i, 15].astype(jnp.int32), 8)
+        z0 = tri_ref[fr, i, 16]
+        z1 = tri_ref[fr, i, 17]
+        z2 = tri_ref[fr, i, 18]
 
-            rows = row_off + y0w.astype(jnp.float32)
-            px = col - p0x
-            py = rows - p0y
-            dot02 = v0x * px + v0y * py
-            dot12 = v1x * px + v1y * py
-            u = (dot11 * dot02 - dot01 * dot12) * inv_deno
-            v = (dot00 * dot12 - dot01 * dot02) * inv_deno
-            inside = (u >= 0.0) & (v >= 0.0) & (u + v < 1.0)
-            border = col_border | (rows < 2.0) | (rows > h - 3.0)
-            in_box = ((col >= x_min) & (col <= x_max)
-                      & (rows >= y_min) & (rows <= y_max))
-            # weight[0]=1-u-v -> p0, weight[1]=v -> p1, weight[2]=u -> p2
-            # (get_point_weight, mesh_core.cpp:53-82)
-            pdepth = (1.0 - u - v) * z0 + v * z1 + u * z2
+        rows = row_off + y0w.astype(jnp.float32)
+        px = col - p0x
+        py = rows - p0y
+        dot02 = v0x * px + v0y * py
+        dot12 = v1x * px + v1y * py
+        u = (dot11 * dot02 - dot01 * dot12) * inv_deno
+        v = (dot00 * dot12 - dot01 * dot02) * inv_deno
+        inside = (u >= 0.0) & (v >= 0.0) & (u + v < 1.0)
+        border = col_border | (rows < 2.0) | (rows > h - 3.0)
+        in_box = ((col >= x_min) & (col <= x_max)
+                  & (rows >= y_min) & (rows <= y_max))
+        # weight[0]=1-u-v -> p0, weight[1]=v -> p1, weight[2]=u -> p2
+        # (get_point_weight, mesh_core.cpp:53-82)
+        pdepth = (1.0 - u - v) * z0 + v * z1 + u * z2
 
-            d_win = depth_ref[fr, pl.ds(y0w, win), :]
-            update = (inside | border) & in_box & (pdepth > d_win)
-            depth_ref[fr, pl.ds(y0w, win), :] = jnp.where(
-                update, pdepth, d_win)
-            w_win = winner_ref[fr, pl.ds(y0w, win), :]
-            winner_ref[fr, pl.ds(y0w, win), :] = jnp.where(
-                update, jnp.int32(tri_id), w_win)
+        d_win = depth_ref[fr, pl.ds(y0w, win), :]
+        update = (inside | border) & in_box & (pdepth > d_win)
+        depth_ref[fr, pl.ds(y0w, win), :] = jnp.where(
+            update, pdepth, d_win)
+        w_win = winner_ref[fr, pl.ds(y0w, win), :]
+        winner_ref[fr, pl.ds(y0w, win), :] = jnp.where(
+            update, jnp.int32(tri_id), w_win)
+
+    def body(j, _):
+        for u_ in range(unroll):
+            for fr in range(fb):
+                one(j * unroll + u_, fr)
         return 0
 
-    jax.lax.fori_loop(0, chunk, body, 0)
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
 
 
 @functools.partial(jax.jit,

@@ -92,6 +92,14 @@ class TorchScriptLandmarkProvider:
         if out.ndim == 3 and out.shape[1:] == (68, 2):
             return out[0].astype(np.float32)
         if out.ndim == 4 and out.shape[1] == 68:
+            # the reference SAT decode resizes each heatmap to 128x128
+            # BEFORE argmax (utils/utils.py:135-140); match that effective
+            # resolution so coarse heatmaps don't quantize by a whole cell
+            if out.shape[2:] != (128, 128):
+                with torch.no_grad():
+                    out = torch.nn.functional.interpolate(
+                        torch.from_numpy(out), size=(128, 128),
+                        mode="bilinear", align_corners=False).numpy()
             hm = out[0]
             hh, hw = hm.shape[1:]
             flat = hm.reshape(68, -1).argmax(axis=1)

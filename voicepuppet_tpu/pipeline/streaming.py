@@ -170,7 +170,10 @@ class StreamingCoeffPredictor:
         if emit < self.chunk:
             self._done = True
         self._next_frame = s + emit
-        return np.asarray(exp[0, :emit])
+        # returned as a DEVICE array (no fetch): the renderer consumes it
+        # on device, so prediction of block k+1 pipelines behind the
+        # render of block k instead of stalling on a host round-trip
+        return exp[0, :emit]
 
 
 class StreamingSynthesizer:
@@ -201,21 +204,53 @@ class StreamingSynthesizer:
         # sequence across chunks (align.head_sway_angles state form;
         # ref: infer_bfmvid.py:76-89)
         self._sway_state = (np.zeros(3, np.float64), 0.005)
+        self._face3d_ref_d = jnp.asarray(face3d_ref, jnp.float32)
+        self._fg_ref_d = jnp.asarray(fg_ref, jnp.float32)
+        self._bg_pool = jnp.asarray(self.background, jnp.float32)
 
-    def _render(self, exp_block: np.ndarray) -> np.ndarray:
+    def _dispatch(self, exp_block) -> tuple:
+        """Splice + dispatch the frame program for one coefficient block
+        WITHOUT fetching: device compute of this block overlaps the host
+        drain of the previous one (and the next block's coefficient
+        prediction queues behind it)."""
         from voicepuppet_tpu.pipeline.align import head_sway_angles
-        coeff_seq = np.asarray(splice_coeff_sequence(
-            self.identity.bfmcoeff,
-            jnp.asarray(exp_block[None])))
+        synth = self.synth
+        emit = int(exp_block.shape[0])
+        c = synth.chunk
+        coeff_seq = splice_coeff_sequence(self.identity.bfmcoeff,
+                                          exp_block[None])
+        if emit < c:
+            coeff_seq = jnp.pad(coeff_seq, ((0, c - emit), (0, 0)))
         angles, self._sway_state = head_sway_angles(
-            coeff_seq.shape[0], state=self._sway_state)
-        return self.synth.render_frames(coeff_seq, self.identity,
-                                        self.face3d_ref, self.fg_ref,
-                                        self.background, angles=angles)
+            emit, state=self._sway_state)
+        ang_c = np.zeros((c, 3), np.float32)
+        ang_c[:emit] = angles
+        prog = synth.frame_program_for(self.identity)
+        out, _, _ = prog(synth.g_params, coeff_seq, jnp.asarray(ang_c),
+                         self._bg_pool, jnp.zeros((c,), jnp.int32),
+                         self._face3d_ref_d, self._fg_ref_d)
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+        return out, emit
+
+    def _pipeline(self, blocks) -> List[np.ndarray]:
+        """Dispatch block k+1 before draining block k."""
+        outs: List[np.ndarray] = []
+        pending = None
+        for b in blocks:
+            cur = self._dispatch(b)
+            if pending is not None:
+                outs.append(self.synth.fetch_frames(*pending))
+            pending = cur
+        if pending is not None:
+            outs.append(self.synth.fetch_frames(*pending))
+        return outs
 
     def feed(self, pcm: np.ndarray) -> List[np.ndarray]:
         """pcm chunk in -> list of [chunk, S, S, 3] uint8 frame blocks."""
-        return [self._render(b) for b in self.coeffs.feed(pcm)]
+        return self._pipeline(self.coeffs.feed(pcm))
 
     def flush(self) -> List[np.ndarray]:
-        return [self._render(b) for b in self.coeffs.flush()]
+        return self._pipeline(self.coeffs.flush())

@@ -68,7 +68,8 @@ class ATNetTrainer:
         (loss, batch_stats), grads = jax.value_and_grad(
             loss_of, has_aux=True)(state.params)
         state = state.apply_gradients(grads, batch_stats=batch_stats)
-        return state, {"loss": loss}
+        # grads ride along for TB histograms (ref: train_atnet.py:96-101)
+        return state, {"loss": loss, "_grads": {"atnet": grads}}
 
     def train_step(self, state, host_batch, rng):
         return self._train_step(state, shard_batch(host_batch, self.mesh),
@@ -85,8 +86,15 @@ class ATNetTrainer:
         for _ in range(num_steps):
             rng, sub = jax.random.split(rng)
             state, metrics = self.train_step(state, next(batches), sub)
+            grads = metrics.pop("_grads", None)
             if logger is not None:
                 logger.log(int(state.step), **metrics)
+                if hasattr(logger, "maybe_log_histograms"):
+                    # the reference skips BatchNorm vars
+                    # (train_atnet.py:98-100)
+                    logger.maybe_log_histograms(int(state.step), grads,
+                                                exclude=("BatchNorm",
+                                                         "bn"))
             if ckpt is not None:
                 ckpt.maybe_save(int(state.step), state)
         return state

@@ -27,11 +27,16 @@ class MetricsLogger:
     observability surface (train_pixrefer.py:101-131)."""
 
     def __init__(self, log_dir: str, name: str = "train",
-                 print_every: int = 1, tensorboard: bool = True):
+                 print_every: int = 1, tensorboard: bool = True,
+                 histogram_interval: int = 100):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{name}_metrics.jsonl")
         self._f = open(self.path, "a")
         self.print_every = print_every
+        # gradient-histogram cadence: the reference writes summaries
+        # (incl. gradient histograms) every summary_step
+        # (train_pixflow.py:131-134)
+        self.histogram_interval = histogram_interval
         self._t0 = time.time()
         self._tb = None
         if tensorboard:
@@ -68,6 +73,36 @@ class MetricsLogger:
         if self._tb is not None:
             self._tb.image(name, arr, int(step))
             self._tb.flush()
+
+    def log_histograms(self, step: int, trees: Dict[str, Any],
+                       exclude: tuple = ()):
+        """Write one TB histogram per gradient leaf (the reference's
+        per-variable gradient histograms; train_pixflow.py:113-115,
+        train_atnet.py:96-101 — the latter skips BatchNorm vars, passed
+        here via ``exclude`` substrings).  ``trees`` maps a group name
+        (e.g. "generator") to a gradient pytree."""
+        if self._tb is None:
+            return
+        import jax
+        for name, tree in trees.items():
+            for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+                parts = [str(getattr(p, "key", getattr(p, "name", p)))
+                         for p in path]
+                tag = "/".join([name] + parts)
+                if any(e in tag for e in exclude):
+                    continue
+                self._tb.histogram(tag + "/gradients", np.asarray(leaf),
+                                   int(step))
+        self._tb.flush()
+
+    def maybe_log_histograms(self, step: int, trees, exclude: tuple = ()):
+        """Histogram logging at the summary cadence; cheap no-op between
+        (the grads stay device-resident unless this fetches them)."""
+        if (self._tb is None or not self.histogram_interval
+                or trees is None
+                or int(step) % self.histogram_interval != 0):
+            return
+        self.log_histograms(int(step), trees, exclude)
 
     def close(self):
         self._f.close()

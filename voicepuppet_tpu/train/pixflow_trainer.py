@@ -110,7 +110,13 @@ class PixFlowTrainer:
                                   d_opt_state=d_opt_state)
             metrics = {"discrim_loss": d_loss, "gen_loss": g_loss,
                        "gen_loss_GAN": jax.lax.pmean(gan_t, "data"),
-                       "gen_loss_L1": jax.lax.pmean(l1_t, "data")}
+                       "gen_loss_L1": jax.lax.pmean(l1_t, "data"),
+                       # gradient trees for TB histograms (the reference
+                       # logs every grad var; train_pixflow.py:113-115) —
+                       # device-resident until the logger's cadence
+                       # actually fetches them
+                       "_grads": {"discriminator": d_grads,
+                                  "generator": g_grads}}
             return state, metrics
 
         mapped = jax.shard_map(step, mesh=self.mesh,
@@ -140,8 +146,11 @@ class PixFlowTrainer:
         for _ in range(num_steps):
             rng, sub = jax.random.split(rng)
             state, metrics = self.train_step(state, next(batches), sub)
+            grads = metrics.pop("_grads", None)
             if logger is not None:
                 logger.log(int(state.step), **metrics)
+                if hasattr(logger, "maybe_log_histograms"):
+                    logger.maybe_log_histograms(int(state.step), grads)
             if ckpt is not None:
                 ckpt.maybe_save(int(state.step), state)
         return state

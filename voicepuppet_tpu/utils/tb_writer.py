@@ -14,8 +14,11 @@ Wire format notes:
   * masked_crc(x) = rotr15(crc32c(x)) + 0xa282ead8 (mod 2^32)
   * Event: 1=wall_time double, 2=step int64, 3=file_version string,
     5=summary message
-  * Summary.Value: 1=tag string, 2=simple_value float, 4=image message
+  * Summary.Value: 1=tag string, 2=simple_value float, 4=image message,
+    5=histo message
   * Summary.Image: 1=height, 2=width, 3=colorspace, 4=encoded PNG
+  * HistogramProto: 1=min, 2=max, 3=num, 4=sum, 5=sum_squares (doubles),
+    6=bucket_limit, 7=bucket (packed repeated double)
 """
 
 from __future__ import annotations
@@ -101,6 +104,12 @@ def _pb_str(field: int, value: str) -> bytes:
     return _pb_bytes(field, value.encode("utf-8"))
 
 
+def _pb_packed_doubles(field: int, values) -> bytes:
+    values = [float(v) for v in values]
+    payload = struct.pack(f"<{len(values)}d", *values)
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
 def _event(step: Optional[int] = None, summary: Optional[bytes] = None,
            file_version: Optional[str] = None,
            wall_time: Optional[float] = None) -> bytes:
@@ -150,6 +159,31 @@ class TBEventWriter:
         img_msg = (_pb_int(1, arr.shape[0]) + _pb_int(2, arr.shape[1])
                    + _pb_int(3, 3) + _pb_bytes(4, buf.getvalue()))
         val = _pb_str(1, tag) + _pb_bytes(4, img_msg)
+        self._write_record(_event(step=step, summary=_pb_bytes(1, val)))
+
+    def histogram(self, tag: str, values: np.ndarray, step: int,
+                  bins: int = 30):
+        """Histogram summary (the reference logs gradient histograms;
+        train_pixflow.py:113-115, train_atnet.py:96-101).  ``values`` is
+        flattened; non-finite entries are dropped (a NaN would otherwise
+        poison the bucket edges)."""
+        arr = np.asarray(values, np.float64).ravel()
+        arr = arr[np.isfinite(arr)]
+        if arr.size == 0:
+            arr = np.zeros((1,), np.float64)
+        mn, mx = float(arr.min()), float(arr.max())
+        if mx > mn:
+            counts, edges = np.histogram(arr, bins=bins)
+            limits = edges[1:]
+        else:
+            counts, limits = np.asarray([arr.size]), np.asarray([mx])
+        histo = (_pb_double(1, mn) + _pb_double(2, mx)
+                 + _pb_double(3, float(arr.size))
+                 + _pb_double(4, float(arr.sum()))
+                 + _pb_double(5, float(np.square(arr).sum()))
+                 + _pb_packed_doubles(6, limits)
+                 + _pb_packed_doubles(7, counts))
+        val = _pb_str(1, tag) + _pb_bytes(5, histo)
         self._write_record(_event(step=step, summary=_pb_bytes(1, val)))
 
     def flush(self):
@@ -215,6 +249,18 @@ def _parse_fields(data: bytes):
     return fields
 
 
+def _parse_histo(data: bytes):
+    names = {1: "min", 2: "max", 3: "num", 4: "sum", 5: "sum_squares"}
+    out = {"bucket_limit": [], "bucket": []}
+    for field, wt, val in _parse_fields(data):
+        if field in names and wt == 1:
+            (out[names[field]],) = struct.unpack("<d", val)
+        elif field in (6, 7) and wt == 2:
+            key = "bucket_limit" if field == 6 else "bucket"
+            out[key] = list(struct.unpack(f"<{len(val) // 8}d", val))
+    return out
+
+
 def _parse_event(payload: bytes):
     step = 0
     values = {}
@@ -224,7 +270,7 @@ def _parse_event(payload: bytes):
         elif field == 5 and wt == 2:
             for f2, wt2, v2 in _parse_fields(val):
                 if f2 == 1 and wt2 == 2:  # Summary.Value
-                    tag, scalar, img = None, None, None
+                    tag, scalar, img, histo = None, None, None, None
                     for f3, wt3, v3 in _parse_fields(v2):
                         if f3 == 1:
                             tag = v3.decode("utf-8")
@@ -234,6 +280,10 @@ def _parse_event(payload: bytes):
                             for f4, _w, v4 in _parse_fields(v3):
                                 if f4 == 4:
                                     img = v4
+                        elif f3 == 5 and wt3 == 2:
+                            histo = _parse_histo(v3)
                     if tag is not None:
-                        values[tag] = scalar if scalar is not None else img
+                        values[tag] = (scalar if scalar is not None
+                                       else histo if histo is not None
+                                       else img)
     return step, values
