@@ -1,0 +1,110 @@
+"""Profile the 3DMM decode path on the real TPU (VERDICT r2 weak #2).
+
+The dispatch+fetch round-trip through the axon tunnel has a ~27 ms floor,
+so single-call timings are meaningless.  Each variant here is repeated
+K times inside ONE jit via lax.fori_loop (with a data dependence through
+the carry so XLA cannot hoist it), and per-iteration compute is
+(t_K - t_1) / (K - 1).
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voicepuppet_tpu.face3d import bfm as bfm_mod
+from voicepuppet_tpu.face3d import morph
+
+B = 16
+K = 16
+model = bfm_mod.synthetic_bfm(num_theta=189, num_phi=189, seed=0)
+fm = morph.device_bfm(model)
+coeff = jnp.asarray(bfm_mod.demo_coeff(model, batch=B, seed=1))
+angles = jnp.zeros((B, 3), jnp.float32)
+
+id_c, ex_c, tex_c, _, gamma, translation = morph.split_coeff(coeff)
+face_shape = morph.shape_formation(id_c, ex_c, fm)
+face_tex = morph.texture_formation(tex_c, fm)
+rot = morph.rotation_matrix(angles)
+face_norm = morph.compute_norm(face_shape, fm)
+fn_pad = jnp.concatenate(
+    [face_norm, jnp.zeros((B, 1, 3), jnp.float32)], axis=1)
+
+
+def repeat(f, k):
+    """jit(x -> scalar) running f k times with a carried perturbation."""
+    @jax.jit
+    def run(x):
+        def body(i, carry):
+            x_i, acc = carry
+            out = f(x_i)
+            s = jnp.sum(jax.tree_util.tree_leaves(out)[0])
+            return (x_i + 1e-30 * s, acc + s)
+        _, acc = jax.lax.fori_loop(0, k, body, (x, 0.0))
+        return acc
+    return run
+
+
+def shape_default(c):
+    i, e, t, _, _, _ = morph.split_coeff(c)
+    flat = (jnp.einsum("ij,aj->ai", fm.id_base, i)
+            + jnp.einsum("ij,aj->ai", fm.ex_base, e)
+            + fm.meanshape.reshape(1, -1))
+    return flat.reshape(flat.shape[0], -1, 3) - fm.recenter[None]
+
+
+def face_norm_only(fs):
+    v1 = fs[:, fm.tri[:, 0], :]
+    v2 = fs[:, fm.tri[:, 1], :]
+    v3 = fs[:, fm.tri[:, 2], :]
+    return jnp.cross(v1 - v2, v2 - v3)
+
+
+cases = {
+    "full_reconstruct_rotation":
+        (lambda c: morph.reconstruct_rotation(c, fm, angles).face_color,
+         coeff),
+    "shape_formation_HIGHEST":
+        (lambda c: morph.shape_formation(*morph.split_coeff(c)[:2], fm),
+         coeff),
+    "shape_formation_default_prec": (shape_default, coeff),
+    "texture_formation":
+        (lambda c: morph.texture_formation(morph.split_coeff(c)[2], fm),
+         coeff),
+    "compute_norm_full": (lambda fs: morph.compute_norm(fs, fm),
+                          face_shape),
+    "corner_gathers_cross": (face_norm_only, face_shape),
+    "point_buf_ring_gather":
+        (lambda fn: jnp.sum(fn[:, fm.point_buf, :], axis=2), fn_pad),
+    "illumination":
+        (lambda ft: morph.illumination_layer(ft, face_norm, gamma)[0],
+         face_tex),
+    "projection":
+        (lambda fs: morph.projection_layer(fs, rot, translation)[0],
+         face_shape),
+}
+
+progs = {}
+for name, (f, x) in cases.items():
+    progs[name] = (repeat(f, 1), repeat(f, K), x)
+    float(np.asarray(progs[name][0](x)))
+    float(np.asarray(progs[name][1](x)))
+print("compiled", flush=True)
+
+mins1 = {k: 1e9 for k in progs}
+minsK = {k: 1e9 for k in progs}
+for r in range(8):
+    for name, (f1, fK, x) in progs.items():
+        t0 = time.perf_counter()
+        float(np.asarray(f1(x)))
+        mins1[name] = min(mins1[name], time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(np.asarray(fK(x)))
+        minsK[name] = min(minsK[name], time.perf_counter() - t0)
+    print(f"round {r} done", flush=True)
+
+print(f"\nFINAL per-iteration compute (ms, B={B} frames, K={K}):")
+for name in progs:
+    per = (minsK[name] - mins1[name]) / (K - 1)
+    print(f"  {name:32s} {per*1e3:8.2f}   (t1={mins1[name]*1e3:.1f} "
+          f"tK={minsK[name]*1e3:.1f})")

@@ -186,3 +186,35 @@ def test_mask_time_bucket_padding_matches_exact_length(cfg):
                            jnp.asarray(mfcc_pad), seq, train=False)
     assert np.abs(np.asarray(unmasked[:, :t])
                   - np.asarray(exact)).max() > 1e-4
+
+
+def test_bfloat16_trunk_close_to_f32(cfg):
+    """BFMNet(dtype=bfloat16): the conv trunk runs in bf16 (params f32,
+    BN moments f32, GRU+head f32) and the coefficients stay within a
+    loosened tolerance of the exact f32 path — the serving-speed knob
+    (Synthesizer bfmnet_dtype; PERF.md backlog #2)."""
+    import dataclasses
+    cfg2 = dataclasses.replace(
+        cfg, bfmnet=dataclasses.replace(cfg.bfmnet,
+                                        backbone_width_mult=0.25,
+                                        thinresnet_output_channels=64,
+                                        encode_embedding_size=64,
+                                        rnn_hidden_size=64))
+    m32 = bfmnet_mod.BFMNet(cfg2.bfmnet)
+    m16 = bfmnet_mod.BFMNet(cfg2.bfmnet, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    t = 8
+    rs = np.random.RandomState(0)
+    ears = jnp.asarray(rs.rand(2, t, 1) / 100.0, jnp.float32)
+    mfcc = jnp.asarray(rs.randn(2, t * 5, 80), jnp.float32)
+    seq = jnp.full((2,), t, jnp.int32)
+    variables = m32.init({"params": rng, "dropout": rng}, ears, mfcc, seq,
+                         train=False)
+    o32 = np.asarray(m32.apply(variables, ears, mfcc, seq, train=False))
+    o16 = np.asarray(m16.apply(variables, ears, mfcc, seq, train=False))
+    assert o16.dtype == np.float32  # head casts back
+    scale = np.abs(o32).max()
+    assert np.abs(o32 - o16).max() < 0.05 * scale + 1e-3, (
+        np.abs(o32 - o16).max(), scale)
+    # the bf16 path must actually differ (proves the cast is live)
+    assert np.abs(o32 - o16).max() > 0.0

@@ -48,13 +48,15 @@ class MfccEncoder(nn.Module):
     drop_rate: float = 0.25
     width_mult: float = 1.0
     bn_axis: Optional[str] = None
+    dtype: Any = jnp.float32  # CNN compute dtype (MfccNet docstring)
 
     @nn.compact
     def __call__(self, mfccs, train: bool = True, valid_rows=None):
         x = mfccs[..., None]  # [B, T*5, 80, 1]
         x = MfccNet(self.output_channels, width_mult=self.width_mult,
-                    bn_axis=self.bn_axis)(x, train=train,
-                                          valid_rows=valid_rows)
+                    bn_axis=self.bn_axis,
+                    dtype=self.dtype)(x, train=train,
+                                      valid_rows=valid_rows)
         x = max_pool_same(x, self.pooling, self.pooling)
         b = x.shape[0]
         x = x.reshape(b, -1, self.output_channels)  # [B, T, 256]
@@ -95,6 +97,10 @@ class BFMNet(nn.Module):
     Output: expression coefficients [B, T, bfm_coeff_size]."""
     cfg: BFMNetConfig
     bn_axis: Optional[str] = None  # sync-BN mesh axis for DP training
+    # serving compute dtype for the conv trunk (params stay f32, the GRU
+    # recurrence and coefficient head stay f32 for exact streaming
+    # semantics); bfloat16 halves the whole-clip coefficient pass
+    dtype: Any = jnp.float32
 
     def setup(self):
         # setup-based (attribute names ARE the scope names, so the param
@@ -109,7 +115,8 @@ class BFMNet(nn.Module):
                                         c.encode_embedding_size,
                                         drop_rate=drop,
                                         width_mult=c.backbone_width_mult,
-                                        bn_axis=self.bn_axis)
+                                        bn_axis=self.bn_axis,
+                                        dtype=self.dtype)
         self.rnn_in = nn.Dense(c.encode_embedding_size,
                                kernel_init=nn.initializers.xavier_uniform())
         self.rnn_module = masked_gru(c.rnn_hidden_size, c.rnn_layers,

@@ -54,10 +54,14 @@ class TFBatchNorm(nn.Module):
     def __call__(self, x, use_running_average: Optional[bool] = None):
         ura = nn.merge_param("use_running_average",
                              self.use_running_average, use_running_average)
-        return nn.BatchNorm(use_running_average=ura,
-                            momentum=self.momentum, epsilon=self.epsilon,
-                            use_bias=True, use_scale=self.use_scale,
-                            axis_name=self.axis_name if not ura else None)(x)
+        # moments/normalization always in float32 (bf16 backbones cast
+        # around the BN, like pixrefer's StatelessBatchNorm)
+        y = nn.BatchNorm(use_running_average=ura,
+                         momentum=self.momentum, epsilon=self.epsilon,
+                         use_bias=True, use_scale=self.use_scale,
+                         axis_name=self.axis_name if not ura else None)(
+                             x.astype(jnp.float32))
+        return y.astype(x.dtype)
 
 
 class ConvBN(nn.Module):
@@ -68,11 +72,12 @@ class ConvBN(nn.Module):
     stride: Tuple[int, int]
     activation: Callable = nn.relu
     bn_axis: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.Conv(self.features, self.kernel, strides=self.stride,
-                    padding="SAME", use_bias=False,
+                    padding="SAME", use_bias=False, dtype=self.dtype,
                     kernel_init=xavier_uniform())(x)
         x = TFBatchNorm(axis_name=self.bn_axis)(
             x, use_running_average=not train)
@@ -90,6 +95,7 @@ class InvertedResidual(nn.Module):
     dw_kernel: Tuple[int, int] = (7, 3)
     activation: Callable = nn.relu6
     bn_axis: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool, time_mask=None):
@@ -97,7 +103,7 @@ class InvertedResidual(nn.Module):
         in_ch = x.shape[-1]
         # expansion_conv2d (tinynet.py:46-65)
         x = nn.Conv(in_ch * self.expansion, (1, 1), strides=(1, 1),
-                    padding="SAME", use_bias=False,
+                    padding="SAME", use_bias=False, dtype=self.dtype,
                     kernel_init=xavier_uniform())(x)
         x = TFBatchNorm(axis_name=self.bn_axis)(
             x, use_running_average=not train)
@@ -112,13 +118,14 @@ class InvertedResidual(nn.Module):
         ch = x.shape[-1]
         x = nn.Conv(ch, self.dw_kernel, strides=self.stride, padding="SAME",
                     feature_group_count=ch, use_bias=False,
-                    kernel_init=xavier_uniform())(x)
+                    dtype=self.dtype, kernel_init=xavier_uniform())(x)
         x = TFBatchNorm(axis_name=self.bn_axis)(
             x, use_running_average=not train)
         x = self.activation(x)
         # projection_conv2d (tinynet.py:67-82), no activation
         x = nn.Conv(self.features, (1, 1), strides=(1, 1), padding="SAME",
-                    use_bias=False, kernel_init=xavier_uniform())(x)
+                    use_bias=False, dtype=self.dtype,
+                    kernel_init=xavier_uniform())(x)
         x = TFBatchNorm(axis_name=self.bn_axis)(
             x, use_running_average=not train)
 
@@ -126,6 +133,7 @@ class InvertedResidual(nn.Module):
             if x.shape[-1] != inputs.shape[-1]:
                 inputs = nn.Conv(x.shape[-1], (1, 1), strides=(1, 1),
                                  padding="SAME", use_bias=False,
+                                 dtype=self.dtype,
                                  kernel_init=xavier_uniform())(inputs)
                 inputs = TFBatchNorm(axis_name=self.bn_axis)(
                     inputs, use_running_average=not train)
@@ -148,6 +156,9 @@ class MfccNet(nn.Module):
     activation: Callable = nn.relu6
     width_mult: float = 1.0
     bn_axis: Optional[str] = None
+    # serving compute dtype for every conv (params stay f32, BN moments
+    # forced f32 in TFBatchNorm); bf16 runs the stack on the MXU at 2x
+    dtype: Any = jnp.float32
     # (stem, b1..b7) widths; bfmnet variant by default, the atvgnet/elu
     # variant uses MOBILENET_WIDTHS (atvgnet/tinynet.py:169-207)
     widths: Tuple[int, ...] = (32, 64, 64, 128, 192, 256, 256, 256)
@@ -187,10 +198,12 @@ class MfccNet(nn.Module):
         wd = self.widths
         ir = lambda f, e=6: InvertedResidual(w(f), (1, 1), e,
                                              activation=act,
-                                             bn_axis=self.bn_axis)
-        x = m0(x)
+                                             bn_axis=self.bn_axis,
+                                             dtype=self.dtype)
+        x = m0(x.astype(self.dtype))
         x = m0(ConvBN(w(wd[0]), (9, 5), (1, 2), activation=stem_act,
-                      bn_axis=self.bn_axis)(x, train))           # block0_0
+                      bn_axis=self.bn_axis,
+                      dtype=self.dtype)(x, train))               # block0_0
         x = m0(ir(wd[1], 1)(x, train, tmask))                    # block1_0
         x = m0(ir(wd[2])(x, train, tmask))                       # block2_0
         x = pool(x, (2, 2), (1, 2))
@@ -213,9 +226,9 @@ class MfccNet(nn.Module):
         x = m0(ir(wd[6])(x, train, tmask))                       # block6_2
         x = m0(ir(wd[7])(x, train, tmask))                       # block7_0
         x = m0(ConvBN(self.output_channels, (1, 1), (1, 1),
-                      activation=stem_act,
-                      bn_axis=self.bn_axis)(x, train))           # block8_0
-        return x
+                      activation=stem_act, bn_axis=self.bn_axis,
+                      dtype=self.dtype)(x, train))               # block8_0
+        return x.astype(jnp.float32)
 
 
 # atvgnet width schedule (true MobileNetV2; atvgnet/tinynet.py:172-204)

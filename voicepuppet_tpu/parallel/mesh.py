@@ -52,9 +52,22 @@ def mesh_global_batch(requested: int, mesh: Mesh, axis: str = "data",
     VGNet 4; train_*.py) were chosen for ONE GPU; a sharded leading axis
     must divide evenly over ``mesh.shape[axis]``.  Rounding up (with a
     warning) keeps every device busy instead of crashing at device_put —
-    on a v5e-8, PixRefer's batch 2 becomes 8, which only scales the
-    reference's single-device batch, it does not change step semantics
-    (the loss is the mean over the global batch either way)."""
+    on a v5e-8, PixRefer's batch 2 becomes 8.
+
+    This IS a training-dynamics divergence from the reference: a 4x batch
+    at the same lr schedule has 4x lower gradient noise.  The alternative
+    — pad the global batch to the mesh and MASK the pad out of the loss —
+    was considered and rejected: (a) per-sample loss masks would have to
+    thread through every GAN loss (incl. the PatchGAN reductions and the
+    VGG perceptual term), (b) the reference's always-train-mode BatchNorm
+    computes moments over the batch, so padded samples would corrupt the
+    statistics unless BN itself were also made mask-aware — at which
+    point the "reference semantics" being preserved are gone anyway, and
+    (c) idle devices computing garbage they then throw away buy nothing
+    over simply training on more data.  Matching the reference's exact
+    noise scale on a mesh means choosing a batch that divides it — the
+    trainers accept any such ``batch_size`` and only ROUND when the
+    configured one cannot shard."""
     n = mesh.shape[axis]
     if requested % n == 0:
         return requested

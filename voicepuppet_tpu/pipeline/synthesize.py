@@ -153,6 +153,7 @@ class Synthesizer:
                  raster_bb: int = 12, mesh=None,
                  mesh_partition: str = "frames",
                  gan_dtype=jnp.bfloat16,
+                 bfmnet_dtype=jnp.float32,
                  transfer_format: str = "yuv420"):
         """``mesh``: an optional jax.sharding.Mesh with a ``data`` axis —
         frame chunks are then sharded across it (inference sequence
@@ -185,7 +186,11 @@ class Synthesizer:
         self.face_model = face_model
         self.fm = morph.device_bfm(face_model)
         self.frontend = MelFrontend(cfg.mel)
-        self.bfmnet = BFMNet(cfg.bfmnet)
+        # bfmnet_dtype=bfloat16 halves the whole-clip coefficient pass
+        # (conv trunk on the MXU in bf16; GRU + head stay f32) at a ~1e-3
+        # coefficient delta — keep f32 where bit-exact streaming parity
+        # matters (tests/test_streaming.py)
+        self.bfmnet = BFMNet(cfg.bfmnet, dtype=bfmnet_dtype)
         self.bfm_vars = bfmnet_variables
         self.gen = px.PixReferNet(cfg.pixrefer, dtype=gan_dtype)
         self.g_params = pixrefer_g_params
