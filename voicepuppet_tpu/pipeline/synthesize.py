@@ -154,7 +154,8 @@ class Synthesizer:
                  mesh_partition: str = "frames",
                  gan_dtype=jnp.bfloat16,
                  bfmnet_dtype=jnp.float32,
-                 transfer_format: str = "yuv420"):
+                 transfer_format: str = "yuv420",
+                 drain_workers: int = 1):
         """``mesh``: an optional jax.sharding.Mesh with a ``data`` axis —
         frame chunks are then sharded across it (inference sequence
         parallelism: the post-GRU frame path is embarrassingly parallel,
@@ -206,6 +207,14 @@ class Synthesizer:
         self._coeff_prog = jax.jit(self._coeff_program)
         self._frame_prog_cache: Dict = {}
         self._drain_pool = None
+        # drain worker count: tasks write disjoint frame slices, so any
+        # count is ordering-safe.  DEFAULT 1 — measured on this dev host:
+        # 2 workers is ~2.5x WORSE through the axon tunnel (interleaved
+        # A/B best-of: 64 vs 26 frames/s; concurrent fetches contend
+        # rather than overlap, and parallel streams don't raise the
+        # globally-throttled link bandwidth anyway).  Knob kept for
+        # many-core PCIe hosts where unpack/fetch overlap can win.
+        self.drain_workers = max(1, int(drain_workers))
 
     # ---- program 1: audio -> expression coefficients (whole clip) ----
     def _coeff_program(self, pcm, ear, seq_len):
@@ -428,7 +437,8 @@ class Synthesizer:
     def _drain_executor(self):
         if self._drain_pool is None:
             from concurrent.futures import ThreadPoolExecutor
-            self._drain_pool = ThreadPoolExecutor(max_workers=1)
+            self._drain_pool = ThreadPoolExecutor(
+                max_workers=self.drain_workers)
         return self._drain_pool
 
     def close(self):
