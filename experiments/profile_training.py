@@ -68,12 +68,12 @@ def bench_bfmnet(batch_size):
           f"(loss={loss:.4f})", flush=True)
 
 
-def bench_pixrefer(batch_size):
+def bench_pixrefer(batch_size, train_dtype=jnp.float32):
     from voicepuppet_tpu.train.pixrefer_trainer import PixReferTrainer
     c = dataclasses.replace(
         cfg, pixrefer=dataclasses.replace(cfg.pixrefer,
                                           batch_size=batch_size))
-    trainer = PixReferTrainer(c)
+    trainer = PixReferTrainer(c, train_dtype=train_dtype)
     state = trainer.init_state()
     rng = np.random.RandomState(0)
     b = trainer.global_batch
@@ -83,9 +83,43 @@ def bench_pixrefer(batch_size):
              rng.rand(b, s, s, 3).astype(np.float32),
              (rng.rand(b, s, s, 3) > 0.5).astype(np.float32))
     per, loss, state = per_step(trainer, state, batch)
+    dt = jnp.dtype(train_dtype).name
     print(f"pixrefer batch={b:2d}: {per*1e3:7.1f} ms/step "
-          f"(D+G, 512², f32)  {1.0/per:6.2f} steps/s  "
+          f"(D+G, 512², {dt})  {1.0/per:6.2f} steps/s  "
           f"{b/per:7.2f} samples/s  (loss={loss:.4f})", flush=True)
+
+
+def bench_pixrefer_ab(batch_size):
+    """Interleaved f32 / bf16 A/B in ONE process (per-variant minima over
+    alternating windows — the only timing method that survives tunnel
+    weather; CLAUDE.md)."""
+    from voicepuppet_tpu.train.pixrefer_trainer import PixReferTrainer
+    c = dataclasses.replace(
+        cfg, pixrefer=dataclasses.replace(cfg.pixrefer,
+                                          batch_size=batch_size))
+    rng = np.random.RandomState(0)
+    s = c.pixrefer.img_size
+    variants = {}
+    for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        trainer = PixReferTrainer(c, train_dtype=dt)
+        state = trainer.init_state()
+        b = trainer.global_batch
+        batch = (rng.rand(b, s, s, 6).astype(np.float32),
+                 rng.rand(b, s, s, 6).astype(np.float32),
+                 rng.rand(b, s, s, 3).astype(np.float32),
+                 (rng.rand(b, s, s, 3) > 0.5).astype(np.float32))
+        _, _, state = timed_steps(trainer, state, batch, 1)   # compile
+        _, _, state = timed_steps(trainer, state, batch, 2)   # warm
+        variants[name] = [trainer, state, batch, np.inf]
+    for _ in range(3):                                        # A/B/A/B…
+        for name, v in variants.items():
+            w, loss, v[1] = timed_steps(v[0], v[1], v[2], N)
+            v[3] = min(v[3], w / N)
+    for name, (trainer, _, _, per) in variants.items():
+        b = trainer.global_batch
+        print(f"pixrefer batch={b:2d} {name:4s}: {per*1e3:7.1f} ms/step "
+              f"(D+G, 512²)  {1.0/per:6.2f} steps/s  "
+              f"{b/per:7.2f} samples/s", flush=True)
 
 
 if __name__ == "__main__":
@@ -96,3 +130,7 @@ if __name__ == "__main__":
     if which in ("all", "pixrefer"):
         bench_pixrefer(2)
         bench_pixrefer(8)
+    if which in ("all", "pixrefer_ab", "ab"):
+        bench_pixrefer_ab(2)
+    if which in ("ab8",):
+        bench_pixrefer_ab(8)

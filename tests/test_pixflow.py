@@ -109,3 +109,42 @@ def test_pixflow_data_stream(cfg):
     assert inputs.shape == (64, 64, 6)
     assert fg_inputs.shape == (64, 64, 6)
     assert masks.shape == (64, 64, 3)
+
+
+def test_pixflow_bf16_mixed_precision_step_learns(cfg, batch):
+    """Mixed-precision (train_dtype=bfloat16) PixFlow step: conv
+    activations bf16, master params / losses float32.  Asserts the bf16
+    gradient path trains (L1 drops over a fixed batch) and the float32
+    master-weight invariant holds (same scheme as the PixRefer trainer;
+    the reference trains f32-only, train_pixflow.py:107-133)."""
+    from voicepuppet_tpu.config import TrainingConfig
+    from voicepuppet_tpu.parallel.mesh import make_mesh
+
+    cfg2 = dataclasses.replace(
+        cfg, pixflow=dataclasses.replace(
+            cfg.pixflow, batch_size=2,
+            training=TrainingConfig(learning_rate=1e-3,
+                                    decay_steps=1000, decay_rate=0.999,
+                                    beta1=0.5)))
+    mesh1 = make_mesh(jax.devices()[:1])
+    trainer = PixFlowTrainer(cfg2, image_size=S, mesh=mesh1,
+                             train_dtype=jnp.bfloat16)
+    state = trainer.init_state()
+    for leaf in jax.tree_util.tree_leaves(state.g_params):
+        assert leaf.dtype == jnp.float32
+
+    small = tuple(np.asarray(a[:2]) for a in batch)
+    key = jax.random.PRNGKey(0)
+    l1_hist = []
+    for _ in range(25):
+        key, sub = jax.random.split(key)
+        state, metrics = trainer.train_step(state, small, sub)
+        metrics.pop("_grads")
+        l1_hist.append(float(metrics["gen_loss_L1"]))
+    assert np.isfinite(l1_hist).all()
+    # measured trajectory: 1.141 -> 0.942 over the 25 steps (17% drop,
+    # monotone); certifies the bf16 gradient path trains at all
+    assert min(l1_hist[-5:]) < 0.9 * l1_hist[0], l1_hist[::5]
+    assert min(l1_hist[-5:]) == min(l1_hist), l1_hist[::5]  # still falling
+    for leaf in jax.tree_util.tree_leaves(state.g_params):
+        assert leaf.dtype == jnp.float32

@@ -217,3 +217,51 @@ def test_pixrefer_overfit_learns(cfg):
     d_fake = float(np.mean(np.asarray(d_eval.apply(
         {"params": d_params}, inputs_p[..., 3:], fake_fg))))
     assert d_real > d_fake + 0.05, (d_real, d_fake)
+
+
+def test_pixrefer_bf16_mixed_precision_step_learns(cfg):
+    """Mixed-precision training (train_dtype=bfloat16): conv activations
+    run bf16 while master params / Adam state / losses stay float32.
+    Asserts the bf16 gradient path actually TRAINS (L1 drops on a fixed
+    batch) and that the float32 master-weight invariant holds — a cast
+    misplaced into the param tree would silently halve checkpoint
+    precision.  TPU-first capability beyond the f32-only reference
+    (train_pixrefer.py:112-153)."""
+    from voicepuppet_tpu.config import TrainingConfig
+    from voicepuppet_tpu.parallel.mesh import make_mesh
+
+    cfg2 = dataclasses.replace(
+        cfg, pixrefer=dataclasses.replace(
+            cfg.pixrefer, batch_size=2,
+            training=TrainingConfig(learning_rate=1e-3,
+                                    decay_steps=1000, decay_rate=0.999,
+                                    beta1=0.5)))
+    mesh1 = make_mesh(jax.devices()[:1])
+    trainer = PixReferTrainer(cfg2, image_size=S, mesh=mesh1,
+                              train_dtype=jnp.bfloat16)
+    state = trainer.init_state()
+    # master weights are float32 (checkpoints dtype-agnostic)
+    for leaf in jax.tree_util.tree_leaves(state.g_params):
+        assert leaf.dtype == jnp.float32
+
+    rng = np.random.RandomState(7)
+    b = 2
+    batch = (rng.rand(b, S, S, 6).astype(np.float32),
+             rng.rand(b, S, S, 6).astype(np.float32),
+             rng.rand(b, S, S, 3).astype(np.float32),
+             (rng.rand(b, S, S, 3) > 0.5).astype(np.float32))
+
+    key = jax.random.PRNGKey(0)
+    l1_hist = []
+    for _ in range(30):
+        key, sub = jax.random.split(key)
+        state, metrics = trainer.train_step(state, batch, sub)
+        l1_hist.append(float(metrics["gen_loss_L1"]))
+    assert np.isfinite(l1_hist).all()
+    # measured trajectory: 0.759 -> 0.620 over the 30 steps (18% drop,
+    # monotone); the deep overfit bound lives in the f32 test above —
+    # this one certifies the bf16 gradient path trains at all
+    assert min(l1_hist[-5:]) < 0.9 * l1_hist[0], l1_hist[::6]
+    assert min(l1_hist[-5:]) == min(l1_hist), l1_hist[::6]  # still falling
+    for leaf in jax.tree_util.tree_leaves(state.g_params):
+        assert leaf.dtype == jnp.float32

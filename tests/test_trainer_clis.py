@@ -106,10 +106,10 @@ default:
     return str(p)
 
 
-def run_main(main, tmp_path, cfg_path, name):
+def run_main(main, tmp_path, cfg_path, name, *extra):
     main(["--config_path", cfg_path, "--steps", "2",
           "--ckpt_dir", str(tmp_path / f"ckpt_{name}"),
-          "--log_dir", str(tmp_path / f"log_{name}")])
+          "--log_dir", str(tmp_path / f"log_{name}")] + list(extra))
     log = tmp_path / f"log_{name}" / f"{name}_metrics.jsonl"
     assert log.exists(), f"{name}: no metrics written"
     assert len(log.read_text().strip().splitlines()) >= 2
@@ -140,9 +140,12 @@ def test_pixrefer_cli(dataset, tmp_path):
 
 
 def test_pixflow_cli(dataset, tmp_path):
+    # --dtype bfloat16 pins the mixed-precision CLI path end-to-end on the
+    # cheap 64px config (the GAN trainers share the flag's plumbing)
     from voicepuppet_tpu.train import pixflow_trainer
     cfg_path = make_yaml(tmp_path, dataset, "train_panel_pf.txt")
-    run_main(pixflow_trainer.main, tmp_path, cfg_path, "pixflow")
+    run_main(pixflow_trainer.main, tmp_path, cfg_path, "pixflow",
+             "--dtype", "bfloat16")
 
 
 def test_train_then_synthesize_via_cli_only(dataset, tmp_path):

@@ -22,7 +22,7 @@ Same stateless always-batch-stats BN as PixRefer (:91-93).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -41,17 +41,18 @@ class ResBlock(nn.Module):
     features: int
     drop_rate: float = 0.5
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         bn = lambda: StatelessBatchNorm(axis_name=self.axis_name)
         y = nn.Conv(self.features, (3, 3), padding="SAME",
-                    kernel_init=conv_init())(x)
+                    kernel_init=conv_init(), dtype=self.dtype)(x)
         y = lrelu(bn()(y))
         if train:
             y = nn.Dropout(rate=self.drop_rate, deterministic=False)(y)
         y = nn.Conv(self.features, (3, 3), padding="SAME",
-                    kernel_init=conv_init())(y)
+                    kernel_init=conv_init(), dtype=self.dtype)(y)
         return x + bn()(y)
 
 
@@ -59,14 +60,16 @@ class EncoderNet(nn.Module):
     """ref: pixflow.py:111-131; ``stem7`` distinguishes the 7x7 stem."""
     ngf: int
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         bn = lambda: StatelessBatchNorm(axis_name=self.axis_name)
         x = nn.Conv(self.ngf, (7, 7), strides=(2, 2), padding="SAME",
-                    kernel_init=conv_init(), name="stem7")(x)
+                    kernel_init=conv_init(), dtype=self.dtype,
+                    name="stem7")(x)
         for i, ch in enumerate((self.ngf * 2, self.ngf * 4, self.ngf * 8)):
-            x = GenConv(ch, name=f"enc_{i + 1}")(lrelu(x))
+            x = GenConv(ch, dtype=self.dtype, name=f"enc_{i + 1}")(lrelu(x))
             x = bn()(x)
         return x
 
@@ -76,39 +79,45 @@ class PixFlowGenerator(nn.Module):
     ngf: int = 64
     out_channels: int = 4
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, fg_inputs, train: bool = True):
         a = self.axis_name
-        encode_feat = EncoderNet(self.ngf, a,
+        inputs = inputs.astype(self.dtype)
+        fg_inputs = fg_inputs.astype(self.dtype)
+        encode_feat = EncoderNet(self.ngf, a, dtype=self.dtype,
                                  name="encoder_net")(fg_inputs[..., :3])
-        diff = EncoderNet(self.ngf, a, name="diffnet")
+        diff = EncoderNet(self.ngf, a, dtype=self.dtype, name="diffnet")
         feat0 = diff(inputs[..., :3])
         feat1 = diff(inputs[..., 3:])
         diff_feat = feat1 - feat0
 
         x = encode_feat
         for i in range(2):
-            x = ResBlock(self.ngf * 8, axis_name=a,
+            x = ResBlock(self.ngf * 8, axis_name=a, dtype=self.dtype,
                          name=f"pre_resnet_{i + 1}")(x, train)
         d = diff_feat
         for i in range(2):
-            d = ResBlock(self.ngf * 8, axis_name=a,
+            d = ResBlock(self.ngf * 8, axis_name=a, dtype=self.dtype,
                          name=f"diff_resnet_{i + 1}")(d, train)
         x = x + d
 
         # decoder_net (pixflow.py:154-187)
         bn = lambda: StatelessBatchNorm(axis_name=a)
         for i in range(2):
-            x = ResBlock(self.ngf * 8, axis_name=a,
+            x = ResBlock(self.ngf * 8, axis_name=a, dtype=self.dtype,
                          name=f"post_resnet_{i + 1}")(x, train)
         for i, ch in enumerate((self.ngf * 8, self.ngf * 4, self.ngf * 2)):
-            x = GenDeconv(ch, name=f"decoder_{i}")(jax.nn.relu(x))
+            x = GenDeconv(ch, dtype=self.dtype,
+                          name=f"decoder_{i}")(jax.nn.relu(x))
             x = bn()(x)
         x = nn.ConvTranspose(self.out_channels, (7, 7), strides=(2, 2),
                              padding="SAME", kernel_init=conv_init(),
+                             dtype=self.dtype,
                              name="final7")(jax.nn.relu(x))
-        return jnp.tanh(x)
+        # tanh + compositing in float32 regardless of conv dtype
+        return jnp.tanh(x.astype(jnp.float32))
 
 
 class PixFlowNet(nn.Module):
@@ -118,10 +127,12 @@ class PixFlowNet(nn.Module):
     (ref: pixflow.py:258-267)."""
     cfg: PixFlowConfig
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, fg_inputs, train: bool = True):
         out = PixFlowGenerator(self.cfg.ngf, 4, self.axis_name,
+                               dtype=self.dtype,
                                name="generator")(inputs, fg_inputs, train)
         rgb = out[..., :3]
         alpha = jnp.tile((out[..., 3:] + 1.0) / 2.0, (1, 1, 1, 3))

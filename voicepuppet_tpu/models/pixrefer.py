@@ -114,13 +114,15 @@ class DiscrimConv(nn.Module):
     """pad-1 then 4x4 'valid' conv (ref: pixrefer.py:61-64)."""
     features: int
     stride: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         return nn.Conv(self.features, (4, 4),
                        strides=(self.stride, self.stride),
-                       padding="VALID", kernel_init=conv_init())(x)
+                       padding="VALID", kernel_init=conv_init(),
+                       dtype=self.dtype)(x)
 
 
 class Generator(nn.Module):
@@ -187,23 +189,31 @@ class Generator(nn.Module):
 
 
 class Discriminator(nn.Module):
-    """PatchGAN (ref: pixrefer.py:103-134)."""
+    """PatchGAN (ref: pixrefer.py:103-134).
+
+    ``dtype=bfloat16`` runs the conv stack on the MXU in bf16 (params stay
+    float32; BN moments float32 via StatelessBatchNorm); the score map is
+    computed from float32 logits so the sigmoid saturation behavior near
+    0/1 — which the -log(D) losses are sensitive to — is unchanged."""
     ndf: int = 64
     n_layers: int = 3
     axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, d_inputs, d_targets):
         bn = lambda: StatelessBatchNorm(axis_name=self.axis_name)
+        conv = functools.partial(DiscrimConv, dtype=self.dtype)
         x = jnp.concatenate([d_inputs, d_targets], axis=-1)
-        x = lrelu(DiscrimConv(self.ndf, 2, name="layer_1")(x))
+        x = x.astype(self.dtype)
+        x = lrelu(conv(self.ndf, 2, name="layer_1")(x))
         for i in range(self.n_layers):
             ch = self.ndf * min(2 ** (i + 1), 8)
             stride = 1 if i == self.n_layers - 1 else 2
-            x = DiscrimConv(ch, stride, name=f"layer_{i + 2}")(x)
+            x = conv(ch, stride, name=f"layer_{i + 2}")(x)
             x = lrelu(bn()(x))
-        x = DiscrimConv(1, 1, name=f"layer_{self.n_layers + 2}")(x)
-        return jax.nn.sigmoid(x)
+        x = conv(1, 1, name=f"layer_{self.n_layers + 2}")(x)
+        return jax.nn.sigmoid(x.astype(jnp.float32))
 
 
 def composite(gen_out: jax.Array, targets: jax.Array):

@@ -17,7 +17,7 @@ vgg vars from both optimizers' var_lists, pixrefer.py:397-406) via
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -26,15 +26,22 @@ import numpy as np
 
 
 class VGG16Features(nn.Module):
-    """Returns (conv1_2, conv2_2, conv3_3, conv4_3) feature maps."""
+    """Returns (conv1_2, conv2_2, conv3_3, conv4_3) feature maps.
+
+    ``dtype=bfloat16`` runs the 3x3 conv stacks on the MXU in bf16 (the
+    trunk is a frozen feature extractor, so activation precision only
+    perturbs the perceptual loss; the L2 reduction itself is always
+    accumulated in float32 by ``perceptual_loss``)."""
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         ends = []
+        x = x.astype(self.dtype)
 
         def stack(x, reps, ch, name):
             for i in range(reps):
-                x = nn.Conv(ch, (3, 3), padding="SAME",
+                x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
                             name=f"{name}_{i + 1}")(x)
                 x = jax.nn.relu(x)
             return x
@@ -74,17 +81,19 @@ def load_weights(npz_path: str, params):
     return out
 
 
-def perceptual_loss(vgg_params, real_fg: jax.Array,
-                    fake_fg: jax.Array) -> jax.Array:
+def perceptual_loss(vgg_params, real_fg: jax.Array, fake_fg: jax.Array,
+                    dtype: Any = jnp.float32) -> jax.Array:
     """conv3_3 L2 content loss (ref: pixrefer.py:318-328):
     ``tf.nn.l2_loss(gen_f - img_f) / size(gen_f)`` = mean(diff²)/2.
 
     The reference feeds ``concat([real, fake])`` through one VGG pass and
-    splits conv3_3; equivalent to two passes with shared frozen weights."""
+    splits conv3_3; equivalent to two passes with shared frozen weights.
+    The squared-difference reduction is always float32 regardless of the
+    trunk ``dtype``."""
     params = jax.lax.stop_gradient(vgg_params)
-    model = VGG16Features()
+    model = VGG16Features(dtype=dtype)
     both = jnp.concatenate([real_fg, fake_fg], axis=0)
     _, _, f3, _ = model.apply({"params": params}, both)
     real_f, fake_f = jnp.split(f3, 2, axis=0)
-    diff = fake_f - real_f
+    diff = (fake_f - real_f).astype(jnp.float32)
     return jnp.sum(jnp.square(diff)) / (2.0 * diff.size)

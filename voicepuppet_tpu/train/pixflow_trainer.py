@@ -10,7 +10,7 @@ ref⊕cur, fg_inputs [B,S,S,6] fg ref⊕cur, masks [B,S,S,3]).
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Any, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,16 +29,26 @@ from voicepuppet_tpu.train.state import GANTrainState
 
 class PixFlowTrainer:
     def __init__(self, cfg: Config, mesh=None,
-                 image_size: Optional[int] = None):
+                 image_size: Optional[int] = None,
+                 train_dtype: Any = jnp.float32):
+        """``train_dtype=jnp.bfloat16`` = mixed-precision step: G/D conv
+        activations in bf16 on the MXU, master params / Adam state / BN
+        moments / losses float32 (same scheme as PixReferTrainer; no loss
+        scaling needed — bf16 keeps float32's exponent range).  Measured
+        a net LOSS on v5e for the sibling PixRefer step (casts around the
+        f32 BN moments outweigh MXU savings; docs/PERF.md) — default f32."""
         self.cfg = cfg
         self.img_size = image_size or cfg.pixflow.img_size
         self.mesh = mesh if mesh is not None else make_mesh()
+        self.train_dtype = train_dtype
         # reference batch 3 (train_pixflow.py:36) rounded up to the mesh
         self.global_batch = mesh_global_batch(cfg.pixflow.batch_size,
                                               self.mesh)
-        self.gen = pf.PixFlowNet(cfg.pixflow, axis_name="data")
+        self.gen = pf.PixFlowNet(cfg.pixflow, axis_name="data",
+                                 dtype=train_dtype)
         self.gen_eval = pf.PixFlowNet(cfg.pixflow, axis_name=None)
-        self.disc = px.Discriminator(cfg.pixflow.ndf, axis_name="data")
+        self.disc = px.Discriminator(cfg.pixflow.ndf, axis_name="data",
+                                     dtype=train_dtype)
         self.g_tx = gan_optimizer(cfg.pixflow.training)
         self.d_tx = gan_optimizer(cfg.pixflow.training)
         self._train_step = self._build_step()
@@ -169,10 +179,16 @@ def main(argv=None):
     p.add_argument("--ckpt_dir", default="ckpt_pixflow")
     p.add_argument("--log_dir", default="log")
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="bfloat16 = mixed-precision step (params/optimizer/"
+                        "losses stay float32; measured SLOWER on v5e — "
+                        "see docs/PERF.md)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config_path)
-    trainer = PixFlowTrainer(cfg)
+    trainer = PixFlowTrainer(cfg, train_dtype={
+        "float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype])
     state = trainer.init_state()
     tcfg = cfg.pixflow.training
     ckpt = CheckpointManager(args.ckpt_dir, tcfg.max_to_keep,

@@ -41,15 +41,36 @@ from voicepuppet_tpu.train.state import GANTrainState
 class PixReferTrainer:
     def __init__(self, cfg: Config, mesh=None,
                  vgg_weights_path: Optional[str] = None,
-                 image_size: Optional[int] = None):
+                 image_size: Optional[int] = None,
+                 train_dtype: Any = jnp.float32):
+        """``train_dtype=jnp.bfloat16`` enables mixed-precision training:
+        G/D/VGG conv activations run bf16 on the MXU while the master
+        params, Adam state, gradients, BN moments, losses, and the tanh /
+        sigmoid heads all stay float32 (the per-layer casts transpose back
+        to f32 grads under AD).  bf16 shares float32's exponent range, so
+        no loss scaling is needed — unlike fp16 mixed precision.
+        Checkpoints are dtype-agnostic (params are f32 either way).
+
+        Measured on one v5e chip (interleaved A/B, per-variant minima):
+        bf16 is ~13-15% SLOWER than f32 for this step (878 vs 779 ms at
+        batch 2; 3041 vs 2656 ms at batch 8) — XLA's default-precision
+        f32 convs already execute on the MXU via bf16 passes, so explicit
+        bf16 saves no MXU time and the extra casts around the float32 BN
+        moments cost bandwidth in the backward (docs/PERF.md).  The knob
+        stays for hardware where the trade differs; f32 is the default
+        and the parity configuration (the reference trains f32-only,
+        train_pixrefer.py:112-153)."""
         self.cfg = cfg
         self.img_size = image_size or cfg.pixrefer.img_size
         self.mesh = mesh if mesh is not None else make_mesh()
+        self.train_dtype = train_dtype
         # reference batch 2 (train_pixrefer.py:36) rounded up to the mesh
         self.global_batch = mesh_global_batch(cfg.pixrefer.batch_size,
                                               self.mesh)
-        self.gen = px.PixReferNet(cfg.pixrefer, axis_name="data")
-        self.disc = px.Discriminator(cfg.pixrefer.ndf, axis_name="data")
+        self.gen = px.PixReferNet(cfg.pixrefer, axis_name="data",
+                                  dtype=train_dtype)
+        self.disc = px.Discriminator(cfg.pixrefer.ndf, axis_name="data",
+                                     dtype=train_dtype)
         self.gen_eval = px.PixReferNet(cfg.pixrefer, axis_name=None)
         self.g_tx = gan_optimizer(cfg.pixrefer.training)
         self.d_tx = gan_optimizer(cfg.pixrefer.training)
@@ -117,7 +138,8 @@ class PixReferTrainer:
                                                inputs_p[..., 3:],
                                                outputs_fg)
                 perc = vgg_mod.perceptual_loss(vgg_params, fg_p[..., 3:],
-                                               outputs_fg)
+                                               outputs_fg,
+                                               dtype=self.train_dtype)
                 total, gan, l1 = px.generator_loss(
                     predict_fake, targets_p, outputs, alphas, masks, perc,
                     cfg.gan_weight, cfg.l1_weight)
@@ -209,12 +231,19 @@ def main(argv=None):
     p.add_argument("--ckpt_dir", default="ckpt_pixrefer")
     p.add_argument("--log_dir", default="log")
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="bfloat16 = mixed-precision step (params/optimizer/"
+                        "losses stay float32; measured SLOWER on v5e — "
+                        "see docs/PERF.md)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config_path)
     vgg_path = os.path.join(cfg.model_dir, "vgg16_weights.npz")
     trainer = PixReferTrainer(
-        cfg, vgg_weights_path=vgg_path if os.path.exists(vgg_path) else None)
+        cfg, vgg_weights_path=vgg_path if os.path.exists(vgg_path) else None,
+        train_dtype={"float32": jnp.float32,
+                     "bfloat16": jnp.bfloat16}[args.dtype])
     state = trainer.init_state()
     tcfg = cfg.pixrefer.training
     ckpt = CheckpointManager(args.ckpt_dir, tcfg.max_to_keep,
