@@ -68,6 +68,59 @@ def bench_bfmnet(batch_size):
           f"(loss={loss:.4f})", flush=True)
 
 
+def timed_multi(trainer, state, batches_list, n):
+    """n multi-step dispatches (each = len(batches_list) optimizer steps),
+    one value fetch at the end."""
+    rng = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        rng, sub = jax.random.split(rng)
+        state, metrics = trainer.train_multi_step(state, batches_list, sub)
+    loss = float(np.asarray(
+        jax.tree_util.tree_leaves(metrics)[0]).ravel()[-1])
+    return time.perf_counter() - t0, loss, state
+
+
+def bench_bfmnet_multi(batch_size, k=8):
+    """Single-step dispatch vs K-steps-per-dispatch (lax.scan), interleaved
+    A/B in one process, per-variant minima (CLAUDE.md timing rules)."""
+    from voicepuppet_tpu.train.bfmnet_trainer import BFMNetTrainer
+    face = bfm_mod.synthetic_bfm(num_theta=189, num_phi=189, seed=0)
+    c = dataclasses.replace(
+        cfg, bfmnet=dataclasses.replace(cfg.bfmnet,
+                                        batch_size=batch_size))
+    trainer = BFMNetTrainer(c, face)
+    s1 = trainer.init_state(example_t=24)
+    sk = trainer.init_state(example_t=24)
+    rng = np.random.RandomState(0)
+    t = 24
+    b = trainer.global_batch
+
+    def mk():
+        return (rng.randn(b, t, 257).astype(np.float32) * 0.1,
+                rng.rand(b, t, 1).astype(np.float32) * 0.1,
+                rng.randn(b, t * 5, 80).astype(np.float32),
+                np.full((b,), t, np.int32))
+
+    batch = mk()
+    batches = [mk() for _ in range(k)]
+    _, _, s1 = timed_steps(trainer, s1, batch, 1)        # compile
+    _, _, s1 = timed_steps(trainer, s1, batch, 2)        # warm
+    _, _, sk = timed_multi(trainer, sk, batches, 1)      # compile
+    _, _, sk = timed_multi(trainer, sk, batches, 1)      # warm
+    n1, nk = 16, 2                                       # 16 steps each
+    best1 = bestk = np.inf
+    for _ in range(3):                                   # A/B/A/B…
+        w, _, s1 = timed_steps(trainer, s1, batch, n1)
+        best1 = min(best1, w / n1)
+        w, _, sk = timed_multi(trainer, sk, batches, nk)
+        bestk = min(bestk, w / (nk * k))
+    for name, per in (("K=1", best1), (f"K={k}", bestk)):
+        print(f"bfmnet  batch={b:2d} {name:4s}: {per*1e3:7.1f} ms/step  "
+              f"{1.0/per:6.2f} steps/s  {b/per:7.1f} samples/s",
+              flush=True)
+
+
 def bench_pixrefer(batch_size, train_dtype=jnp.float32):
     from voicepuppet_tpu.train.pixrefer_trainer import PixReferTrainer
     c = dataclasses.replace(
@@ -134,3 +187,8 @@ if __name__ == "__main__":
         bench_pixrefer_ab(2)
     if which in ("ab8",):
         bench_pixrefer_ab(8)
+    if which in ("multi",):
+        bench_bfmnet_multi(4)
+        bench_bfmnet_multi(8)
+    if which in ("multi32",):
+        bench_bfmnet_multi(8, k=32)

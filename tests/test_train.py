@@ -184,3 +184,101 @@ def test_gan_schedule_matches_reference_global_step():
             got = float(-updates["w"][0])
             want = 3e-4 * 0.999 ** ((2 * n) // 1000)
             assert got == pytest.approx(want, rel=1e-4), (n, got, want)
+
+
+def test_multi_step_matches_sequential(cfg, face_model):
+    """K optimizer steps packed into one dispatch (train_multi_step's
+    device-side lax.scan) must produce the same state and per-step
+    metrics as K sequential train_step calls — same ops in the same
+    order, state threaded through the scan carry (drop_rate=0 makes the
+    step rng-independent, so the differing rng chains are inert).
+
+    SGD, not Adam: Adam's per-element normalization amplifies float-noise
+    grad differences chaotically in the first steps (measured ~5% param
+    divergence from ~1e-7 grad noise), which would test numerics, not the
+    scan semantics.  Under SGD the noise stays linear and tight bounds
+    hold."""
+    import optax
+    trainer = BFMNetTrainer(cfg, face_model, tx=optax.sgd(1e-3))
+    s_seq = trainer.init_state(example_t=8)
+    s_multi = trainer.init_state(example_t=8)
+
+    rng = np.random.RandomState(1)
+    t = 8
+
+    def mk():
+        return (rng.randn(8, t, 257).astype(np.float32) * 0.1,
+                rng.rand(8, t, 1).astype(np.float32) * 0.1,
+                rng.randn(8, t * 5, 80).astype(np.float32),
+                np.full((8,), t, np.int32))
+
+    batches = [mk() for _ in range(3)]
+    key = jax.random.PRNGKey(3)
+    init_params = jax.tree_util.tree_map(np.asarray, s_seq.params)
+
+    losses_seq = []
+    for b in batches:
+        s_seq, m = trainer.train_step(s_seq, b, key)
+        losses_seq.append(float(m["loss"]))
+
+    s_multi, stacked = trainer.train_multi_step(s_multi, batches, key)
+    assert int(s_multi.step) == int(s_seq.step) == 3
+    losses_multi = np.asarray(stacked["loss"])
+    assert losses_multi.shape == (3,)
+    # first inner step: no compounding — must match the standalone step
+    # to float noise (XLA fuses the scan body differently, so bitwise
+    # equality is not guaranteed, but 1e-5 relative is)
+    np.testing.assert_allclose(losses_multi[0], losses_seq[0], rtol=1e-5)
+    # later steps: reassociation noise compounds, and the early loss
+    # curve is steep (11 -> 7.7 in 3 steps), so loss sensitivity to the
+    # ~1e-6 param noise is amplified; measured ~2e-4 relative by step 3
+    np.testing.assert_allclose(losses_multi, losses_seq, rtol=1e-3)
+    # params: compare the CONCATENATED global update vector, bounded by
+    # the measured float-noise floor of this architecture.  Calibration
+    # (same as test_dp_step_matches_single_device): the backward through
+    # 14 stacked batch-norms amplifies ANY reassociation difference to
+    # ~4%-per-step conv-kernel grad noise, so after 3 steps the conv
+    # leaves sit at cosine ~0.97 while GRU/dense leaves hit 1.000 and BN
+    # `bias` leaves (true gradient ~0, update = 1e-10 noise) are random.
+    # Global cosine 0.973 / ratio 0.994 measured; a dropped or duplicated
+    # scan step shifts the norm by ~1/3 and a wrong batch or lr breaks
+    # the (much sharper) per-step loss agreement above.
+    def upd(tree):
+        return np.concatenate(
+            [(np.asarray(a) - np.asarray(p0)).ravel()
+             for a, p0 in zip(jax.tree_util.tree_leaves(tree),
+                              jax.tree_util.tree_leaves(init_params))])
+
+    da, db = upd(s_multi.params), upd(s_seq.params)
+    na, nb = np.linalg.norm(da), np.linalg.norm(db)
+    assert 0.9 < na / nb < 1.1, (na, nb)
+    assert float(da @ db / (na * nb)) > 0.95
+
+
+def test_fit_steps_per_call_logs_every_step(cfg, face_model):
+    """fit(steps_per_call=2) must still log one metrics row per optimizer
+    step (the [K]-stacked metrics are unstacked on host) and handle a
+    tail call smaller than K."""
+    trainer = BFMNetTrainer(cfg, face_model)
+    state = trainer.init_state(example_t=8)
+    rng = np.random.RandomState(2)
+    t = 8
+
+    def stream():
+        while True:
+            yield (rng.randn(8, t, 257).astype(np.float32) * 0.1,
+                   rng.rand(8, t, 1).astype(np.float32) * 0.1,
+                   rng.randn(8, t * 5, 80).astype(np.float32),
+                   np.full((8,), t, np.int32))
+
+    rows = []
+
+    class Log:
+        def log(self, step, **kw):
+            rows.append((step, {k: float(v) for k, v in kw.items()}))
+
+    state = trainer.fit(state, stream(), 5, logger=Log(),
+                        steps_per_call=2)
+    assert int(state.step) == 5
+    assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
+    assert all(np.isfinite(list(r[1].values())).all() for r in rows)

@@ -25,8 +25,10 @@ from voicepuppet_tpu.face3d.bfm import BFMModel
 from voicepuppet_tpu.models.bfmnet import (BFMNet, BFMNetLoss,
                                            make_mouth_mask)
 from voicepuppet_tpu.models.layers import l2_regularization
-from voicepuppet_tpu.parallel.mesh import (data_parallel_step, make_mesh,
-                                           mesh_global_batch, shard_batch)
+from voicepuppet_tpu.parallel.mesh import (data_parallel_multi_step,
+                                           data_parallel_step, make_mesh,
+                                           mesh_global_batch, shard_batch,
+                                           shard_batch_stacked)
 from voicepuppet_tpu.train.optim import bfmnet_optimizer
 from voicepuppet_tpu.train.state import TrainState
 
@@ -53,6 +55,7 @@ class BFMNetTrainer:
         self.tx = tx if tx is not None else bfmnet_optimizer(
             cfg.bfmnet.training)
         self._train_step = data_parallel_step(self._step, self.mesh)
+        self._multi_step = None
         self._eval_step = None
 
     # ---- state ----
@@ -99,6 +102,19 @@ class BFMNetTrainer:
         batch = shard_batch(host_batch, self.mesh)
         return self._train_step(state, batch, rng)
 
+    def train_multi_step(self, state: TrainState, host_batches, rng):
+        """K optimizer steps in ONE dispatch (lax.scan on device) —
+        semantically K sequential ``train_step`` calls (float-identical
+        up to XLA fusion noise; see data_parallel_multi_step); the BFMNet
+        step is small enough to be dispatch-bound, so this is where its
+        real-chip steps/s comes from (docs/PERF.md).  Every metrics leaf
+        gains a leading [K] axis."""
+        if self._multi_step is None:
+            self._multi_step = data_parallel_multi_step(self._step,
+                                                        self.mesh)
+        batches = shard_batch_stacked(host_batches, self.mesh)
+        return self._multi_step(state, batches, rng)
+
     def eval_loss(self, state: TrainState, host_batch) -> jax.Array:
         if self._eval_step is None:
             @jax.jit
@@ -115,16 +131,38 @@ class BFMNetTrainer:
     def fit(self, state: TrainState, batches: Iterator, num_steps: int,
             eval_batches: Optional[Iterator] = None,
             logger=None, ckpt=None, eval_hook: Optional[Callable] = None,
-            seed: int = 0) -> TrainState:
+            seed: int = 0, steps_per_call: int = 1) -> TrainState:
+        """``steps_per_call=K`` packs K optimizer steps into each device
+        dispatch (``train_multi_step``); eval/checkpoint cadences fire on
+        interval *crossings* so they are preserved even when K does not
+        divide them.  K=1 reproduces the reference loop shape exactly
+        (train_bfmnet.py:112-145)."""
         rng = jax.random.PRNGKey(seed)
         tcfg = self.cfg.bfmnet.training
-        for i in range(num_steps):
+        k = max(1, int(steps_per_call))
+        done = 0
+        while done < num_steps:
+            kk = min(k, num_steps - done)
             rng, step_rng = jax.random.split(rng)
-            state, metrics = self.train_step(state, next(batches), step_rng)
-            if logger is not None:
-                logger.log(int(state.step), **metrics)
+            if kk == 1:
+                state, metrics = self.train_step(state, next(batches),
+                                                 step_rng)
+                metrics_rows = [metrics]
+            else:
+                state, stacked = self.train_multi_step(
+                    state, [next(batches) for _ in range(kk)], step_rng)
+                metrics_rows = [
+                    jax.tree_util.tree_map(lambda x, i=i: x[i], stacked)
+                    for i in range(kk)]
+            done += kk
             step = int(state.step)
-            if eval_batches is not None and step % tcfg.eval_interval == 0:
+            if logger is not None:
+                base = step - kk
+                for i, m in enumerate(metrics_rows):
+                    logger.log(base + i + 1, **m)
+            if eval_batches is not None and (
+                    step // tcfg.eval_interval
+                    > (step - kk) // tcfg.eval_interval):
                 eval_batch = next(eval_batches)
                 eval_loss, eval_out = self.eval_loss(state, eval_batch)
                 if logger is not None:
@@ -132,7 +170,11 @@ class BFMNetTrainer:
                 if eval_hook is not None:
                     eval_hook(step, state, eval_batch, eval_out)
             if ckpt is not None:
-                ckpt.maybe_save(step, state)
+                # interval-crossing (== exact-multiple when kk == 1, the
+                # reference cadence; K>1 must not step over a boundary)
+                if (step // ckpt.save_interval
+                        > (step - kk) // ckpt.save_interval and step > 0):
+                    ckpt.save(step, state)
         return state
 
 
@@ -154,6 +196,10 @@ def main(argv=None):
     p.add_argument("--ckpt_dir", default="ckpt_bfmnet")
     p.add_argument("--log_dir", default="log")
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="pack K optimizer steps into one device dispatch "
+                        "(lax.scan); amortizes host round trips for this "
+                        "dispatch-bound step — semantics identical to K=1")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config_path)
@@ -193,7 +239,8 @@ def main(argv=None):
     from voicepuppet_tpu.data.generators import prefetch_to_device
     batches = prefetch_to_device(iter(batcher), trainer.mesh)
     trainer.fit(state, batches, steps, iter(eval_batcher), logger,
-                ckpt, eval_hook=eval_hook)
+                ckpt, eval_hook=eval_hook,
+                steps_per_call=args.steps_per_call)
 
 
 if __name__ == "__main__":
