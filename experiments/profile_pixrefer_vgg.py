@@ -90,16 +90,22 @@ def make_full_step(perc_dtype):
     return full_step
 
 
-def vgg_bwd_bf16(x):
-    return jax.grad(
-        lambda im: vgg_mod.perceptual_loss(vgg_params, fg[..., 3:], im,
-                                           dtype=jnp.bfloat16))(x[..., :3])
+def vgg_bwd(dtype):
+    def f(x):
+        return jax.grad(
+            lambda im: vgg_mod.perceptual_loss(vgg_params, fg[..., 3:], im,
+                                               dtype=dtype))(x[..., :3])
+    return f
 
 
 cases = {
+    # perceptual_loss now splits the real branch out of the grad path
+    # (models/vgg.py); the concat-formulation baseline measured
+    # vgg_bwd 29.8 ms / full_step 46.7 ms (docs/PERF.md)
     "full_step f32 perceptual": make_full_step(jnp.float32),
     "full_step bf16 perceptual": make_full_step(jnp.bfloat16),
-    "vgg_bwd bf16 (to image)": vgg_bwd_bf16,
+    "vgg_bwd f32 (split, to image)": vgg_bwd(jnp.float32),
+    "vgg_bwd bf16 (split, to image)": vgg_bwd(jnp.bfloat16),
 }
 
 progs = {}

@@ -109,6 +109,34 @@ def test_vgg_perceptual_zero_for_identical():
     assert float(vgg_mod.perceptual_loss(params, x, y)) > 0.0
 
 
+def test_vgg_perceptual_split_matches_concat_and_detaches_real():
+    """perceptual_loss runs real/fake as two VGG passes with the real
+    branch stop_gradient'ed (halves the dominant VGG backward —
+    docs/PERF.md).  Pins (a) exact value equality with the reference's
+    concat-then-split formulation (pixrefer.py:318-328: conv/relu/pool
+    are per-sample, so the batch split is a pure reassociation), and
+    (b) zero gradient to the real branch."""
+    rng = jax.random.PRNGKey(5)
+    _, params = vgg_mod.init_vgg(rng, image_size=32)
+    r = np.random.RandomState(1)
+    a = jnp.asarray(r.rand(2, 32, 32, 3).astype(np.float32))
+    b = jnp.asarray(r.rand(2, 32, 32, 3).astype(np.float32))
+
+    both = jnp.concatenate([a, b], axis=0)
+    _, _, f3, _ = vgg_mod.VGG16Features().apply({"params": params}, both)
+    real_f, fake_f = jnp.split(f3, 2, axis=0)
+    concat_val = float(jnp.sum(jnp.square(fake_f - real_f))
+                       / (2.0 * fake_f.size))
+    assert float(vgg_mod.perceptual_loss(params, a, b)) == concat_val
+
+    g_real = jax.grad(
+        lambda im: vgg_mod.perceptual_loss(params, im, b))(a)
+    assert float(jnp.abs(g_real).max()) == 0.0
+    g_fake = jax.grad(
+        lambda im: vgg_mod.perceptual_loss(params, a, im))(b)
+    assert float(jnp.abs(g_fake).max()) > 0.0
+
+
 def test_gan_train_step_dp(cfg, batch):
     trainer = PixReferTrainer(cfg, image_size=S)
     state = trainer.init_state()
@@ -263,5 +291,57 @@ def test_pixrefer_bf16_mixed_precision_step_learns(cfg):
     # this one certifies the bf16 gradient path trains at all
     assert min(l1_hist[-5:]) < 0.9 * l1_hist[0], l1_hist[::6]
     assert min(l1_hist[-5:]) == min(l1_hist), l1_hist[::6]  # still falling
+    for leaf in jax.tree_util.tree_leaves(state.g_params):
+        assert leaf.dtype == jnp.float32
+
+
+def test_pixrefer_bf16_perceptual_only_step_learns(cfg):
+    """perceptual_dtype=bfloat16 with an f32 step: only the frozen VGG
+    perceptual trunk runs bf16 (it has no batch-norm, so none of the cast
+    overhead that makes whole-step bf16 slower — docs/PERF.md).  Asserts
+    the surgical-bf16 step trains (L1 drops on a fixed batch), the
+    perceptual metric stays finite and close to the f32 step's, and the
+    master weights stay float32.  Ref: the perceptual term is a training
+    signal on a frozen net (train_pixrefer.py:80, pixrefer.py:318-328)."""
+    from voicepuppet_tpu.config import TrainingConfig
+    from voicepuppet_tpu.parallel.mesh import make_mesh
+
+    cfg2 = dataclasses.replace(
+        cfg, pixrefer=dataclasses.replace(
+            cfg.pixrefer, batch_size=2,
+            training=TrainingConfig(learning_rate=1e-3,
+                                    decay_steps=1000, decay_rate=0.999,
+                                    beta1=0.5)))
+    mesh1 = make_mesh(jax.devices()[:1])
+    trainer = PixReferTrainer(cfg2, image_size=S, mesh=mesh1,
+                              perceptual_dtype=jnp.bfloat16)
+    assert trainer.train_dtype == jnp.float32          # step stays f32
+    trainer_f32 = PixReferTrainer(cfg2, image_size=S, mesh=mesh1)
+    state = trainer.init_state()
+    state_f32 = trainer_f32.init_state()
+
+    rng = np.random.RandomState(7)
+    b = 2
+    batch = (rng.rand(b, S, S, 6).astype(np.float32),
+             rng.rand(b, S, S, 6).astype(np.float32),
+             rng.rand(b, S, S, 3).astype(np.float32),
+             (rng.rand(b, S, S, 3) > 0.5).astype(np.float32))
+
+    key = jax.random.PRNGKey(0)
+    l1_hist = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, metrics = trainer.train_step(state, batch, sub)
+        l1_hist.append(float(metrics["gen_loss_L1"]))
+        if i == 0:
+            # the bf16 trunk's loss value matches f32 at bf16 tolerance —
+            # the dtype knob must not change WHAT is measured, only how
+            _, m32 = trainer_f32.train_step(state_f32, batch, sub)
+            rel = abs(float(metrics["perceptual"]) -
+                      float(m32["perceptual"])) / float(m32["perceptual"])
+            assert rel < 0.05, (float(metrics["perceptual"]),
+                                float(m32["perceptual"]))
+    assert np.isfinite(l1_hist).all()
+    assert min(l1_hist[-5:]) < 0.9 * l1_hist[0], l1_hist[::6]
     for leaf in jax.tree_util.tree_leaves(state.g_params):
         assert leaf.dtype == jnp.float32

@@ -87,13 +87,20 @@ def perceptual_loss(vgg_params, real_fg: jax.Array, fake_fg: jax.Array,
     ``tf.nn.l2_loss(gen_f - img_f) / size(gen_f)`` = mean(diff²)/2.
 
     The reference feeds ``concat([real, fake])`` through one VGG pass and
-    splits conv3_3; equivalent to two passes with shared frozen weights.
+    splits conv3_3; conv/relu/pool are per-sample ops, so two passes with
+    the shared frozen weights compute the identical features.  The real
+    branch runs under ``stop_gradient``: in the concat formulation AD
+    back-propagates a dense batch-2B cotangent through every conv even
+    though the real half's cotangent is identically zero — splitting
+    halves the VGG backward, which profiling measured as ~64% of the
+    whole D+G step (docs/PERF.md, experiments/profile_pixrefer_step.py).
     The squared-difference reduction is always float32 regardless of the
     trunk ``dtype``."""
     params = jax.lax.stop_gradient(vgg_params)
     model = VGG16Features(dtype=dtype)
-    both = jnp.concatenate([real_fg, fake_fg], axis=0)
-    _, _, f3, _ = model.apply({"params": params}, both)
-    real_f, fake_f = jnp.split(f3, 2, axis=0)
+    _, _, real_f, _ = model.apply(
+        {"params": params}, jax.lax.stop_gradient(real_fg))
+    real_f = jax.lax.stop_gradient(real_f)
+    _, _, fake_f, _ = model.apply({"params": params}, fake_fg)
     diff = (fake_f - real_f).astype(jnp.float32)
     return jnp.sum(jnp.square(diff)) / (2.0 * diff.size)

@@ -42,7 +42,8 @@ class PixReferTrainer:
     def __init__(self, cfg: Config, mesh=None,
                  vgg_weights_path: Optional[str] = None,
                  image_size: Optional[int] = None,
-                 train_dtype: Any = jnp.float32):
+                 train_dtype: Any = jnp.float32,
+                 perceptual_dtype: Any = None):
         """``train_dtype=jnp.bfloat16`` enables mixed-precision training:
         G/D/VGG conv activations run bf16 on the MXU while the master
         params, Adam state, gradients, BN moments, losses, and the tanh /
@@ -59,11 +60,23 @@ class PixReferTrainer:
         moments cost bandwidth in the backward (docs/PERF.md).  The knob
         stays for hardware where the trade differs; f32 is the default
         and the parity configuration (the reference trains f32-only,
-        train_pixrefer.py:112-153)."""
+        train_pixrefer.py:112-153).
+
+        ``perceptual_dtype`` controls ONLY the frozen VGG perceptual-loss
+        trunk (defaults to ``train_dtype``).  The step decomposition
+        (experiments/profile_pixrefer_step.py) measured the VGG backward
+        at ~64% of true step compute, and the VGG trunk has no batch-norm
+        — so ``perceptual_dtype=bfloat16`` captures the MXU/bandwidth win
+        surgically without the BN cast overhead that makes whole-step
+        bf16 slower.  The perceptual term is a *training signal* on a
+        frozen net (ref: train_pixrefer.py:80, pixrefer.py:318-328);
+        master params/grads/losses remain float32 either way."""
         self.cfg = cfg
         self.img_size = image_size or cfg.pixrefer.img_size
         self.mesh = mesh if mesh is not None else make_mesh()
         self.train_dtype = train_dtype
+        self.perceptual_dtype = (perceptual_dtype if perceptual_dtype
+                                 is not None else train_dtype)
         # reference batch 2 (train_pixrefer.py:36) rounded up to the mesh
         self.global_batch = mesh_global_batch(cfg.pixrefer.batch_size,
                                               self.mesh)
@@ -139,7 +152,7 @@ class PixReferTrainer:
                                                outputs_fg)
                 perc = vgg_mod.perceptual_loss(vgg_params, fg_p[..., 3:],
                                                outputs_fg,
-                                               dtype=self.train_dtype)
+                                               dtype=self.perceptual_dtype)
                 total, gan, l1 = px.generator_loss(
                     predict_fake, targets_p, outputs, alphas, masks, perc,
                     cfg.gan_weight, cfg.l1_weight)
@@ -236,14 +249,21 @@ def main(argv=None):
                    help="bfloat16 = mixed-precision step (params/optimizer/"
                         "losses stay float32; measured SLOWER on v5e — "
                         "see docs/PERF.md)")
+    p.add_argument("--perceptual_dtype", choices=("float32", "bfloat16"),
+                   default=None,
+                   help="dtype for ONLY the frozen VGG perceptual trunk "
+                        "(default: follow --dtype). bfloat16 targets the "
+                        "dominant VGG backward without the BN cast "
+                        "overhead of whole-step bf16 — see docs/PERF.md")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config_path)
     vgg_path = os.path.join(cfg.model_dir, "vgg16_weights.npz")
+    dtypes = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, None: None}
     trainer = PixReferTrainer(
         cfg, vgg_weights_path=vgg_path if os.path.exists(vgg_path) else None,
-        train_dtype={"float32": jnp.float32,
-                     "bfloat16": jnp.bfloat16}[args.dtype])
+        train_dtype=dtypes[args.dtype],
+        perceptual_dtype=dtypes[args.perceptual_dtype])
     state = trainer.init_state()
     tcfg = cfg.pixrefer.training
     ckpt = CheckpointManager(args.ckpt_dir, tcfg.max_to_keep,
