@@ -25,7 +25,7 @@ import numpy as np
 # "Environment ceilings"); a watchdog emits the best completed measurement
 # instead of hanging the driver.
 WATCHDOG_SECONDS = 2400.0
-_best = {"fps": None, "runs": 0}
+_best = {"fps": None, "runs": 0, "compute_fps": None}
 
 
 def _emit(fps: float, watchdog: bool = False):
@@ -39,6 +39,13 @@ def _emit(fps: float, watchdog: bool = False):
         # distinguishable from a clean multi-run measurement
         "runs": _best["runs"],
         "watchdog": watchdog,
+        # dispatch/transfer-free device compute rate (amortized in-jit
+        # K-repeat; docs/PERF.md "Round-3 re-profile") — the e2e value
+        # above is d2h-bound through the dev tunnel (10-39 MB/s weather,
+        # ~99 frames/s ceiling at YUV 4:2:0); on a PCIe v5e host the
+        # compute rate governs
+        "compute_fps": (round(_best["compute_fps"], 1)
+                        if _best["compute_fps"] else None),
     }), flush=True)
 
 
@@ -83,6 +90,13 @@ def main():
         return synth.synthesize(panel, pcm, identity, backgrounds=bg)
 
     frames = run()          # warmup + compile
+    # weather-independent compute capability, measured once up front so
+    # even a watchdog-truncated emission carries it
+    try:
+        per_chunk = synth.estimate_chunk_compute(identity)
+        _best["compute_fps"] = chunk / per_chunk
+    except Exception:
+        pass
     # best-of-many inside a time budget: the e2e path is d2h-bound
     # through the axon tunnel, whose bandwidth fluctuates 10-39 MB/s
     # minute-to-minute with external load — sampling several windows and

@@ -311,3 +311,14 @@ def test_spatial_partitioned_synthesizer(cfg, demo):
     diff = np.abs(f1.astype(int) - fS.astype(int))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 0.05
+
+
+def test_estimate_chunk_compute(demo):
+    """The bench's weather-independent compute probe: K frame-program
+    repeats inside one jit with a carried dependence (docs/PERF.md
+    'Round-3 re-profile' methodology).  Pins that it runs on the small
+    demo assets and returns a sane positive per-chunk time."""
+    synth, identity = demo
+    per_chunk = synth.estimate_chunk_compute(identity, k=3, repeats=1)
+    assert per_chunk > 0.0
+    assert np.isfinite(per_chunk)

@@ -25,6 +25,7 @@ import dataclasses
 import functools
 import os
 import subprocess
+import time
 from typing import Callable, Dict, Iterator, Optional, Sequence, Tuple
 
 import jax
@@ -445,6 +446,56 @@ class Synthesizer:
         if self._drain_pool is not None:
             self._drain_pool.shutdown(wait=False)
             self._drain_pool = None
+
+    def estimate_chunk_compute(self, identity: Identity, k: int = 8,
+                               repeats: int = 3) -> float:
+        """Dispatch/transfer-free seconds of device compute per
+        ``self.chunk``-frame chunk, measured by repeating the frame
+        program ``k`` times inside ONE jit (``lax.fori_loop`` with a
+        carried data dependence, so XLA cannot hoist the body) and taking
+        (t_k − t_1)/(k − 1).  This removes the per-call dispatch+fetch
+        round trip (~27 ms through the axon dev tunnel) that inflates
+        single-call timings — the methodology pinned in docs/PERF.md
+        "Round-3 re-profile".  Used by bench.py to report the
+        weather-independent compute capability next to the delivered
+        end-to-end rate."""
+        prog = self.frame_program_for(identity)
+        body = prog.__wrapped__
+        c = self.chunk
+        s = self.img_size
+        ang = jnp.zeros((c, 3), jnp.float32)
+        bg_pool = jnp.zeros((1, s, s, 3), jnp.float32)
+        idx = jnp.zeros((c,), jnp.int32)
+        f3 = jnp.zeros((s, s, 3), jnp.float32)
+        fg = jnp.zeros((s, s, 3), jnp.float32)
+
+        def make(n):
+            @jax.jit
+            def run(g_params, coeff):
+                def step(_, carry):
+                    co, acc = carry
+                    _, frames_fg, _ = body(g_params, co, ang, bg_pool,
+                                           idx, f3, fg)
+                    dep = jnp.sum(frames_fg[0, 0, 0].astype(jnp.float32))
+                    return (co + 1e-30 * dep, acc + dep)
+                _, acc = jax.lax.fori_loop(0, n, step,
+                                           (coeff, jnp.float32(0.0)))
+                return acc
+            return run
+
+        coeff0 = jnp.zeros((c, 257), jnp.float32)
+        run1, runk = make(1), make(k)
+        float(np.asarray(run1(self.g_params, coeff0)))   # compile
+        float(np.asarray(runk(self.g_params, coeff0)))
+        t1 = tk = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(np.asarray(run1(self.g_params, coeff0)))
+            t1 = min(t1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(np.asarray(runk(self.g_params, coeff0)))
+            tk = min(tk, time.perf_counter() - t0)
+        return max((tk - t1) / (k - 1), 1e-9)
 
     # ---- the full contract ----
     def synthesize(self, image_path_or_panel, audio_path_or_pcm,
