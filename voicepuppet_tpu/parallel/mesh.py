@@ -133,7 +133,8 @@ def data_parallel_step(step_fn: Callable, mesh: Mesh,
 
 def data_parallel_multi_step(step_fn: Callable, mesh: Mesh,
                              data_axis: str = "data",
-                             donate_state: bool = True) -> Callable:
+                             donate_state: bool = True,
+                             num_extras: int = 0) -> Callable:
     """Like :func:`data_parallel_step`, but runs K optimizer steps per
     dispatch: ``lax.scan`` drives ``step_fn`` over batches stacked on a
     NEW leading axis ([K, B, ...], sharded on the BATCH axis), so one
@@ -149,23 +150,27 @@ def data_parallel_multi_step(step_fn: Callable, mesh: Mesh,
     relative after a few steps) — pinned by
     tests/test_train.py::test_multi_step_matches_sequential.
 
-    Returns ``multi(state, batches, rng) -> (state, metrics)`` where every
-    metrics leaf gains a leading [K] axis (one row per inner step).  The
-    per-step RNG chain is ``split`` from the axis-folded call rng, so
+    Returns ``multi(state, batches, rng, *extras) -> (state, metrics)``
+    where every metrics leaf gains a leading [K] axis (one row per inner
+    step).  ``num_extras`` replicated pytree arguments (e.g. a frozen VGG
+    trunk) are threaded through every inner call as
+    ``step_fn(state, batch, *extras, rng)`` — passed as jit arguments,
+    not closure constants, so they are not baked into the executable.
+    The per-step RNG chain is ``split`` from the axis-folded call rng, so
     dropout differs per inner step and per shard."""
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(None, data_axis), P()),
+        in_specs=(P(), P(None, data_axis), P()) + (P(),) * num_extras,
         out_specs=(P(), P()),
         check_vma=True)
-    def mapped(state, batches, rng):
+    def mapped(state, batches, rng, *extras):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
 
         def body(carry, batch):
             st, r = carry
             r, sub = jax.random.split(r)
-            st, metrics = step_fn(st, batch, sub)
+            st, metrics = step_fn(st, batch, *extras, sub)
             return (st, r), metrics
 
         (state, _), metrics = jax.lax.scan(body, (state, rng), batches)
@@ -176,11 +181,22 @@ def data_parallel_multi_step(step_fn: Callable, mesh: Mesh,
 
 def shard_batch_stacked(batches: Sequence[Any], mesh: Mesh,
                         axis: str = "data") -> Any:
-    """Stack K host batches into [K, B, ...] leaves and device-put them
-    sharded on the BATCH axis (axis 1) for a multi-step dispatch."""
+    """Stack K batches into [K, B, ...] leaves and device-put them
+    sharded on the BATCH axis (axis 1) for a multi-step dispatch.
+
+    Host (numpy) batches stack on host then upload once.  Batches that
+    are ALREADY device arrays (e.g. from ``prefetch_to_device``) stack
+    with ``jnp.stack`` — ``np.stack`` on device arrays would silently
+    fetch every batch back through the d2h link (11-39 MB/s on the dev
+    tunnel), defeating the prefetch."""
     n = mesh.shape[axis]
-    stacked = jax.tree_util.tree_map(
-        lambda *xs: np.stack(xs, axis=0), *batches)
+
+    def stack(*xs):
+        if any(isinstance(x, jax.Array) for x in xs):
+            return jnp.stack([jnp.asarray(x) for x in xs], axis=0)
+        return np.stack(xs, axis=0)
+
+    stacked = jax.tree_util.tree_map(stack, *batches)
     leaves = jax.tree_util.tree_leaves(stacked)
     if leaves and hasattr(leaves[0], "shape") and len(leaves[0].shape) > 1:
         if leaves[0].shape[1] % n != 0:

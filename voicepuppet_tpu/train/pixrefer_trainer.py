@@ -43,7 +43,8 @@ class PixReferTrainer:
                  vgg_weights_path: Optional[str] = None,
                  image_size: Optional[int] = None,
                  train_dtype: Any = jnp.float32,
-                 perceptual_dtype: Any = None):
+                 perceptual_dtype: Any = None,
+                 g_tx=None, d_tx=None):
         """``train_dtype=jnp.bfloat16`` enables mixed-precision training:
         G/D/VGG conv activations run bf16 on the MXU while the master
         params, Adam state, gradients, BN moments, losses, and the tanh /
@@ -85,8 +86,13 @@ class PixReferTrainer:
         self.disc = px.Discriminator(cfg.pixrefer.ndf, axis_name="data",
                                      dtype=train_dtype)
         self.gen_eval = px.PixReferNet(cfg.pixrefer, axis_name=None)
-        self.g_tx = gan_optimizer(cfg.pixrefer.training)
-        self.d_tx = gan_optimizer(cfg.pixrefer.training)
+        # injectable optimizers (tests swap Adam for SGD: Adam's
+        # per-element normalization chaotically amplifies float noise,
+        # masking semantics checks — see test_multi_step_matches_sequential)
+        self.g_tx = g_tx if g_tx is not None else gan_optimizer(
+            cfg.pixrefer.training)
+        self.d_tx = d_tx if d_tx is not None else gan_optimizer(
+            cfg.pixrefer.training)
 
         _, vgg_params = vgg_mod.init_vgg(jax.random.PRNGKey(17))
         if vgg_weights_path is not None:
@@ -94,6 +100,7 @@ class PixReferTrainer:
         self.vgg_params = vgg_params
 
         self._train_step = self._build_step()
+        self._multi_step = None
         self._infer_step = None
 
     def init_state(self, seed: int = 0) -> GANTrainState:
@@ -175,6 +182,7 @@ class PixReferTrainer:
                        "perceptual": jax.lax.pmean(perc_t, "data")}
             return state, metrics
 
+        self._step_raw = step     # (state, batch, vgg_params, rng)
         mapped = jax.shard_map(
             step, mesh=self.mesh,
             in_specs=(P(), P("data"), P(), P()),
@@ -185,6 +193,23 @@ class PixReferTrainer:
     def train_step(self, state: GANTrainState, host_batch, rng):
         batch = shard_batch(host_batch, self.mesh)
         return self._train_step(state, batch, self.vgg_params, rng)
+
+    def train_multi_step(self, state: GANTrainState, host_batches, rng):
+        """K D-then-G optimizer steps in ONE dispatch (device-side
+        ``lax.scan``) — semantically K sequential ``train_step`` calls
+        (pinned by test_pixrefer_multi_step_matches_sequential).  The true
+        D+G step compute is ~tens of ms once the batch is device-resident
+        (docs/PERF.md step decomposition), so through a high-latency
+        dispatch path the ~27 ms per-call round trip is material; a scan
+        amortizes it exactly as for BFMNet.  Every metrics leaf gains a
+        leading [K] axis; ``state.step`` advances by 2K."""
+        from voicepuppet_tpu.parallel.mesh import (data_parallel_multi_step,
+                                                   shard_batch_stacked)
+        if self._multi_step is None:
+            self._multi_step = data_parallel_multi_step(
+                self._step_raw, self.mesh, num_extras=1)
+        batches = shard_batch_stacked(host_batches, self.mesh)
+        return self._multi_step(state, batches, rng, self.vgg_params)
 
     # ---- inference (ref: pixrefer.py:414-438) ----
     def infer(self, state: GANTrainState, inputs, fg_inputs, targets):
@@ -203,19 +228,40 @@ class PixReferTrainer:
 
     # ---- loop (ref: train_pixrefer.py:134-153) ----
     def fit(self, state, batches: Iterator, num_steps: int, logger=None,
-            ckpt=None, seed: int = 0):
+            ckpt=None, seed: int = 0, steps_per_call: int = 1):
+        """``steps_per_call=K`` packs K D+G steps per device dispatch
+        (``train_multi_step``); summary/checkpoint cadences fire on
+        interval *crossings* (``state.step`` advances by 2 per iteration,
+        pixrefer.py:400,407, so a K-call strides 2K).  K=1 reproduces the
+        reference loop shape exactly (train_pixrefer.py:134-153)."""
         rng = jax.random.PRNGKey(seed)
         tcfg = self.cfg.pixrefer.training
-        for _ in range(num_steps):
+        k = max(1, int(steps_per_call))
+        done = 0
+        while done < num_steps:
+            kk = min(k, num_steps - done)
             rng, sub = jax.random.split(rng)
-            batch = next(batches)
-            state, metrics = self.train_step(state, batch, sub)
+            if kk == 1:
+                batch = next(batches)
+                state, metrics = self.train_step(state, batch, sub)
+                metrics_rows = [metrics]
+            else:
+                got = [next(batches) for _ in range(kk)]
+                batch = got[-1]
+                state, stacked = self.train_multi_step(state, got, sub)
+                metrics_rows = [
+                    jax.tree_util.tree_map(lambda x, i=i: x[i], stacked)
+                    for i in range(kk)]
+            done += kk
             step = int(state.step)
             if logger is not None:
-                logger.log(step, **metrics)
+                base = step - 2 * kk
+                for i, m in enumerate(metrics_rows):
+                    logger.log(base + 2 * (i + 1), **m)
                 # image summaries at summary cadence
                 # (ref: train_pixrefer.py:101-131, 144-146)
-                if step % tcfg.summary_interval == 0:
+                if (step // tcfg.summary_interval
+                        > (step - 2 * kk) // tcfg.summary_interval):
                     inputs, fg_inputs, targets, masks = batch
                     outputs, out_fg = self.infer(state, inputs[:1],
                                                  fg_inputs[:1],
@@ -226,7 +272,10 @@ class PixReferTrainer:
                          np.clip(np.asarray(outputs[0]), 0, 1)], axis=1)
                     logger.log_image(step, "pixrefer", strip)
             if ckpt is not None:
-                ckpt.maybe_save(step, state)
+                if (step // ckpt.save_interval
+                        > (step - 2 * kk) // ckpt.save_interval
+                        and step > 0):
+                    ckpt.save(step, state)
         return state
 
 
@@ -255,6 +304,10 @@ def main(argv=None):
                         "(default: follow --dtype). bfloat16 targets the "
                         "dominant VGG backward without the BN cast "
                         "overhead of whole-step bf16 — see docs/PERF.md")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="pack K D+G steps into one device dispatch via a "
+                        "device-side lax.scan (amortizes the per-dispatch "
+                        "round trip; docs/PERF.md)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config_path)
@@ -283,7 +336,8 @@ def main(argv=None):
         num_workers=4)
     batches = prefetch_to_device(bg, trainer.mesh)
     try:
-        trainer.fit(state, batches, steps, logger, ckpt)
+        trainer.fit(state, batches, steps, logger, ckpt,
+                    steps_per_call=args.steps_per_call)
     finally:
         bg.close()
 
