@@ -175,6 +175,49 @@ def bench_pixrefer_ab(batch_size):
               f"{b/per:7.2f} samples/s", flush=True)
 
 
+def bench_pixrefer_multi(batch_size, k=4):
+    """PixRefer D+G: device-resident single-step dispatch vs
+    K-steps-per-dispatch, interleaved A/B in one process.  Both variants
+    use device-resident batches (shard_batch / jnp-stacked prefetched
+    arrays) so the comparison isolates dispatch overhead, not the h2d
+    the fit loop overlaps via prefetch_to_device."""
+    from voicepuppet_tpu.train.pixrefer_trainer import PixReferTrainer
+    from voicepuppet_tpu.parallel.mesh import shard_batch
+    c = dataclasses.replace(
+        cfg, pixrefer=dataclasses.replace(cfg.pixrefer,
+                                          batch_size=batch_size))
+    trainer = PixReferTrainer(c)
+    s1 = trainer.init_state()
+    sk = trainer.init_state()
+    rng = np.random.RandomState(0)
+    b = trainer.global_batch
+    s = c.pixrefer.img_size
+
+    def mk():
+        return (rng.rand(b, s, s, 6).astype(np.float32),
+                rng.rand(b, s, s, 6).astype(np.float32),
+                rng.rand(b, s, s, 3).astype(np.float32),
+                (rng.rand(b, s, s, 3) > 0.5).astype(np.float32))
+
+    batch = shard_batch(mk(), trainer.mesh)
+    batches = [shard_batch(mk(), trainer.mesh) for _ in range(k)]
+    _, _, s1 = timed_steps(trainer, s1, batch, 1)        # compile
+    _, _, s1 = timed_steps(trainer, s1, batch, 2)        # warm
+    _, _, sk = timed_multi(trainer, sk, batches, 1)      # compile
+    _, _, sk = timed_multi(trainer, sk, batches, 1)      # warm
+    n1, nk = 8, 2
+    best1 = bestk = np.inf
+    for _ in range(3):                                   # A/B/A/B…
+        w, _, s1 = timed_steps(trainer, s1, batch, n1)
+        best1 = min(best1, w / n1)
+        w, _, sk = timed_multi(trainer, sk, batches, nk)
+        bestk = min(bestk, w / (nk * k))
+    for name, per in (("K=1", best1), (f"K={k}", bestk)):
+        print(f"pixrefer batch={b:2d} {name:4s} (device-resident): "
+              f"{per*1e3:7.1f} ms/step  {1.0/per:6.2f} steps/s  "
+              f"{b/per:7.2f} samples/s", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "bfmnet"):
@@ -192,3 +235,7 @@ if __name__ == "__main__":
         bench_bfmnet_multi(8)
     if which in ("multi32",):
         bench_bfmnet_multi(8, k=32)
+    if which in ("pxmulti",):
+        bench_pixrefer_multi(2)
+    if which in ("pxmulti8",):
+        bench_pixrefer_multi(8)
