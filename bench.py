@@ -90,13 +90,6 @@ def main():
         return synth.synthesize(panel, pcm, identity, backgrounds=bg)
 
     frames = run()          # warmup + compile
-    # weather-independent compute capability, measured once up front so
-    # even a watchdog-truncated emission carries it
-    try:
-        per_chunk = synth.estimate_chunk_compute(identity)
-        _best["compute_fps"] = chunk / per_chunk
-    except Exception:
-        pass
     # best-of-many inside a time budget: the e2e path is d2h-bound
     # through the axon tunnel, whose bandwidth fluctuates 10-39 MB/s
     # minute-to-minute with external load — sampling several windows and
@@ -114,6 +107,17 @@ def main():
         _best["fps"] = fps
         runs += 1
         _best["runs"] = runs
+        if runs == 1:
+            # weather-independent compute capability.  Measured only
+            # AFTER the first e2e result is recorded: a tunnel stall in
+            # this auxiliary probe must not cost the headline number
+            # (the watchdog emits _best["fps"]).
+            try:
+                per_chunk = synth.estimate_chunk_compute(identity)
+                if np.isfinite(per_chunk) and per_chunk > 0:
+                    _best["compute_fps"] = chunk / per_chunk
+            except Exception:
+                pass
 
     _emit(fps)
 

@@ -474,9 +474,14 @@ class Synthesizer:
             def run(g_params, coeff):
                 def step(_, carry):
                     co, acc = carry
-                    _, frames_fg, _ = body(g_params, co, ang, bg_pool,
-                                           idx, f3, fg)
-                    dep = jnp.sum(frames_fg[0, 0, 0].astype(jnp.float32))
+                    out, frames_fg, _ = body(g_params, co, ang, bg_pool,
+                                             idx, f3, fg)
+                    # anchor BOTH outputs in the carry: the packed
+                    # transfer buffer too, or XLA dead-code-eliminates
+                    # the YUV/uint8 pack stage the delivered path
+                    # always pays and the probe overstates capability
+                    dep = (jnp.sum(frames_fg[0, 0, 0].astype(jnp.float32))
+                           + out.ravel()[0].astype(jnp.float32))
                     return (co + 1e-30 * dep, acc + dep)
                 _, acc = jax.lax.fori_loop(0, n, step,
                                            (coeff, jnp.float32(0.0)))
@@ -495,7 +500,11 @@ class Synthesizer:
             t0 = time.perf_counter()
             float(np.asarray(runk(self.g_params, coeff0)))
             tk = min(tk, time.perf_counter() - t0)
-        return max((tk - t1) / (k - 1), 1e-9)
+        if tk <= t1:
+            # tunnel jitter swamped the measurement — signal
+            # "unmeasured" instead of fabricating a rate
+            return float("nan")
+        return (tk - t1) / (k - 1)
 
     # ---- the full contract ----
     def synthesize(self, image_path_or_panel, audio_path_or_pcm,

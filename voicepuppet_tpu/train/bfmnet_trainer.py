@@ -143,17 +143,28 @@ class BFMNetTrainer:
         done = 0
         while done < num_steps:
             kk = min(k, num_steps - done)
-            rng, step_rng = jax.random.split(rng)
-            if kk == 1:
-                state, metrics = self.train_step(state, next(batches),
-                                                 step_rng)
-                metrics_rows = [metrics]
-            else:
+            if kk == k and k > 1:
+                rng, step_rng = jax.random.split(rng)
                 state, stacked = self.train_multi_step(
                     state, [next(batches) for _ in range(kk)], step_rng)
+                # ONE fetch for the whole [K]-stacked metrics tree —
+                # per-row/per-metric float() would pay K*len(metrics)
+                # dispatch round trips, cancelling the amortization
+                stacked = jax.device_get(stacked)
                 metrics_rows = [
                     jax.tree_util.tree_map(lambda x, i=i: x[i], stacked)
                     for i in range(kk)]
+            else:
+                # K=1, and the tail when K does not divide num_steps:
+                # kk sequential steps through the already-compiled
+                # single-step program (a [kk]-shaped scan would
+                # recompile the step program for one dispatch)
+                metrics_rows = []
+                for _ in range(kk):
+                    rng, step_rng = jax.random.split(rng)
+                    state, metrics = self.train_step(state, next(batches),
+                                                     step_rng)
+                    metrics_rows.append(metrics)
             done += kk
             step = int(state.step)
             if logger is not None:

@@ -240,18 +240,29 @@ class PixReferTrainer:
         done = 0
         while done < num_steps:
             kk = min(k, num_steps - done)
-            rng, sub = jax.random.split(rng)
-            if kk == 1:
-                batch = next(batches)
-                state, metrics = self.train_step(state, batch, sub)
-                metrics_rows = [metrics]
-            else:
+            if kk == k and k > 1:
+                rng, sub = jax.random.split(rng)
                 got = [next(batches) for _ in range(kk)]
                 batch = got[-1]
                 state, stacked = self.train_multi_step(state, got, sub)
+                # ONE fetch for the whole [K]-stacked metrics tree —
+                # per-row/per-metric float() would pay K*len(metrics)
+                # dispatch round trips, cancelling the amortization
+                stacked = jax.device_get(stacked)
                 metrics_rows = [
                     jax.tree_util.tree_map(lambda x, i=i: x[i], stacked)
                     for i in range(kk)]
+            else:
+                # K=1, and the tail when K does not divide num_steps:
+                # kk sequential steps through the already-compiled
+                # single-step program (a [kk]-shaped scan would
+                # recompile the whole D+G program for one dispatch)
+                metrics_rows = []
+                for _ in range(kk):
+                    rng, sub = jax.random.split(rng)
+                    batch = next(batches)
+                    state, metrics = self.train_step(state, batch, sub)
+                    metrics_rows.append(metrics)
             done += kk
             step = int(state.step)
             if logger is not None:
