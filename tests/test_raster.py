@@ -205,3 +205,22 @@ def test_pallas_render_texture_matches_xla():
                                   np.asarray(out_x.triangle_buffer))
     np.testing.assert_array_equal(np.asarray(out_p.depth_buffer),
                                   np.asarray(out_x.depth_buffer))
+
+
+def test_pallas_nonpow2_fb_unroll_tail(mesh):
+    """Regression: with an explicit non-power-of-two fb (allowed — fb
+    must only divide B) the SMEM chunk is 512//fb, not a multiple of the
+    triangle-unroll 4; the unrolled loop used to silently skip the
+    trailing chunk%4 triangles of every chunk.  fb=6 -> chunk=85 must
+    still match the sequential spec exactly."""
+    from voicepuppet_tpu.ops.raster_pallas import render_colors_pallas
+    verts, tris, colors = mesh
+    want_img, want_mask = raster_ref.render_colors_ref(verts, tris, colors,
+                                                       H, W)
+    vb = np.broadcast_to(verts[None], (6,) + verts.shape)
+    cb = np.broadcast_to(colors[None], (6,) + colors.shape)
+    got_img, got_mask = render_colors_pallas(vb, cb, tris, h=H, w=W,
+                                             fb=6, interpret=True)
+    for i in range(6):
+        np.testing.assert_array_equal(np.asarray(got_mask[i]), want_mask)
+        np.testing.assert_array_equal(np.asarray(got_img[i]), want_img)

@@ -157,3 +157,34 @@ def test_streaming_buffer_is_trimmed(setup):
     sp.flush()
     with pytest.raises(RuntimeError):
         sp.feed(_pcm(cfg, 4))
+
+
+def test_streaming_background_pool_cycles(setup):
+    """A multi-frame background pool must cycle per emitted frame across
+    block boundaries (bg_idx = global_frame % pool, matching the batch
+    driver's arange(T) % pool) — regression for the index being pinned
+    to pool[0]."""
+    from voicepuppet_tpu.pipeline.streaming import StreamingSynthesizer
+
+    cfg, synth, identity = setup
+    frames = 32
+    pcm = _pcm(cfg, frames)
+    ref = np.zeros((S, S, 3), np.float32)
+    # two maximally-different backgrounds; alpha is never 1 everywhere,
+    # so frames composited over bg0 vs bg1 must differ
+    pool = np.stack([np.zeros((S, S, 3), np.float32),
+                     np.ones((S, S, 3), np.float32)])
+
+    ss = StreamingSynthesizer(synth, identity, ref, ref, background=pool)
+    ss.coeffs._rng = _ZeroRng()
+    blocks = []
+    for i in range(0, pcm.shape[0], 4000):
+        blocks.extend(ss.feed(pcm[i:i + 4000]))
+    blocks.extend(ss.flush())
+    got = np.concatenate(blocks, axis=0).astype(np.int32)
+    # even frames ride bg0, odd frames bg1: consecutive frames must
+    # differ far more than two same-parity frames (background dominates
+    # the non-face area)
+    d_adjacent = np.abs(got[0] - got[1]).mean()
+    d_same_bg = np.abs(got[0] - got[2]).mean()
+    assert d_adjacent > 10 * max(d_same_bg, 1e-3), (d_adjacent, d_same_bg)

@@ -69,6 +69,16 @@ def _fb_for_batch(b: int, fb: int = FB) -> int:
     return max(fb, 1)
 
 
+def _unroll_for(chunk: int, unroll: int = 4) -> int:
+    """Largest of 4/2/1 dividing ``chunk``: the triangle-unroll loop runs
+    ``chunk // unroll`` iterations, so a non-dividing unroll would
+    silently skip the trailing ``chunk % unroll`` triangles of every
+    chunk (reachable with an explicit non-power-of-two ``fb``)."""
+    while chunk % unroll:
+        unroll //= 2
+    return max(unroll, 1)
+
+
 def _triangle_table(vertices: jax.Array, triangles: jax.Array,
                     h: int, w: int, win: int = WIN,
                     pad_to: int = T_CHUNK) -> jax.Array:
@@ -203,7 +213,8 @@ def rasterize_winner_pallas(vertices: jax.Array, triangles: jax.Array,
     nc = f_pad // chunk
 
     kernel = functools.partial(_raster_kernel, h=h, w=w, num_tri=f,
-                               win=win, fb=fb, chunk=chunk)
+                               win=win, fb=fb, chunk=chunk,
+                               unroll=_unroll_for(chunk))
     depth, winner = pl.pallas_call(
         kernel,
         grid=(b // fb, nc),
@@ -325,7 +336,8 @@ def rasterize_winner_interp_pallas(vertices: jax.Array,
     nc = f_pad // chunk
 
     kernel = functools.partial(_raster_kernel_interp, h=h, w=w, num_tri=f,
-                               win=win, fb=fb, chunk=chunk)
+                               win=win, fb=fb, chunk=chunk,
+                               unroll=_unroll_for(chunk))
     depth, winner = pl.pallas_call(
         kernel,
         grid=(b // fb, nc),

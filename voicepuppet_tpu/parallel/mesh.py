@@ -148,7 +148,11 @@ def data_parallel_multi_step(step_fn: Callable, mesh: Mesh,
     state threaded through the scan carry; float-level results track the
     K-single-dispatch path up to XLA fusion/reassociation noise (~1e-4
     relative after a few steps) — pinned by
-    tests/test_train.py::test_multi_step_matches_sequential.
+    tests/test_train.py::test_multi_step_matches_sequential.  Caveat:
+    the per-step rng chain differs from the K=1 loop's (one split-chain
+    inside the scan vs one split per host call), so when dropout is
+    active the masks differ — equally independent keys, matching in
+    distribution, not bit-wise; the equivalence test pins drop_rate=0.
 
     Returns ``multi(state, batches, rng, *extras) -> (state, metrics)``
     where every metrics leaf gains a leading [K] axis (one row per inner

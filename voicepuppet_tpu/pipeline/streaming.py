@@ -207,6 +207,10 @@ class StreamingSynthesizer:
         self._face3d_ref_d = jnp.asarray(face3d_ref, jnp.float32)
         self._fg_ref_d = jnp.asarray(fg_ref, jnp.float32)
         self._bg_pool = jnp.asarray(self.background, jnp.float32)
+        # frames emitted so far: carries the per-frame background-pool
+        # cycle (bg_idx = frame % pool) across blocks, matching the batch
+        # driver's arange(T) % pool (synthesize.render_frames)
+        self._frames_emitted = 0
 
     def _dispatch(self, exp_block) -> tuple:
         """Splice + dispatch the frame program for one coefficient block
@@ -226,8 +230,12 @@ class StreamingSynthesizer:
         ang_c = np.zeros((c, 3), np.float32)
         ang_c[:emit] = angles
         prog = synth.frame_program_for(self.identity)
+        npool = self._bg_pool.shape[0]
+        idx_c = np.zeros((c,), np.int32)
+        idx_c[:emit] = (self._frames_emitted + np.arange(emit)) % npool
+        self._frames_emitted += emit
         out, _, _ = prog(synth.g_params, coeff_seq, jnp.asarray(ang_c),
-                         self._bg_pool, jnp.zeros((c,), jnp.int32),
+                         self._bg_pool, jnp.asarray(idx_c),
                          self._face3d_ref_d, self._fg_ref_d)
         try:
             out.copy_to_host_async()

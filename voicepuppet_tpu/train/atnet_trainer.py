@@ -25,8 +25,13 @@ from voicepuppet_tpu.train.state import TrainState
 
 class ATNetTrainer:
     def __init__(self, cfg: Config, pca_component: np.ndarray, mesh=None,
-                 width_mult: float = 1.0):
+                 width_mult: float = 1.0, log_gradients: bool = True):
+        """``log_gradients=False`` drops the gradient pytree from the
+        step's metrics: the reference-cadence TB histograms need it
+        (train_atnet.py:96-101), but when histogram logging is off it is
+        a standing extra gradient-tree copy in HBM every step."""
         self.cfg = cfg
+        self.log_gradients = log_gradients
         self.mesh = mesh if mesh is not None else make_mesh()
         # reference batch 16 (train_atnet.py:41) rounded up to the mesh
         self.global_batch = mesh_global_batch(cfg.atnet.batch_size,
@@ -68,8 +73,12 @@ class ATNetTrainer:
         (loss, batch_stats), grads = jax.value_and_grad(
             loss_of, has_aux=True)(state.params)
         state = state.apply_gradients(grads, batch_stats=batch_stats)
-        # grads ride along for TB histograms (ref: train_atnet.py:96-101)
-        return state, {"loss": loss, "_grads": {"atnet": grads}}
+        metrics = {"loss": loss}
+        if self.log_gradients:
+            # grads ride along for TB histograms (ref: train_atnet.py:
+            # 96-101); off -> XLA never materializes them as outputs
+            metrics["_grads"] = {"atnet": grads}
+        return state, metrics
 
     def train_step(self, state, host_batch, rng):
         return self._train_step(state, shard_batch(host_batch, self.mesh),

@@ -134,12 +134,25 @@ class BFMNetTrainer:
             seed: int = 0, steps_per_call: int = 1) -> TrainState:
         """``steps_per_call=K`` packs K optimizer steps into each device
         dispatch (``train_multi_step``); eval/checkpoint cadences fire on
-        interval *crossings* so they are preserved even when K does not
-        divide them.  K=1 reproduces the reference loop shape exactly
+        interval *crossings*, at most once per dispatch — preserved when
+        K does not divide an interval, but K larger than an interval
+        coarsens that cadence to once-per-dispatch (warned).  K=1
+        reproduces the reference loop shape exactly
         (train_bfmnet.py:112-145)."""
         rng = jax.random.PRNGKey(seed)
         tcfg = self.cfg.bfmnet.training
         k = max(1, int(steps_per_call))
+        if k > 1:
+            import warnings
+            for label, iv in (("eval_interval",
+                               tcfg.eval_interval if eval_batches
+                               is not None else None),
+                              ("save_interval",
+                               ckpt.save_interval if ckpt else None)):
+                if iv and k > iv:
+                    warnings.warn(
+                        f"steps_per_call={k} exceeds {label}={iv}: that "
+                        "cadence coarsens to once per dispatch")
         done = 0
         while done < num_steps:
             kk = min(k, num_steps - done)
@@ -210,7 +223,10 @@ def main(argv=None):
     p.add_argument("--steps_per_call", type=int, default=1,
                    help="pack K optimizer steps into one device dispatch "
                         "(lax.scan); amortizes host round trips for this "
-                        "dispatch-bound step — semantics identical to K=1")
+                        "dispatch-bound step. Same math per step; with "
+                        "dropout active the per-step rng chain differs "
+                        "from K=1 (equally independent keys, so loss "
+                        "curves match in distribution, not bit-wise)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config_path)

@@ -84,6 +84,10 @@ class MetricsLogger:
         if self._tb is None:
             return
         import jax
+        # ONE batched fetch for every leaf: per-leaf np.asarray would pay
+        # a ~27 ms dispatch round trip per variable through the dev
+        # tunnel (hundreds of leaves -> seconds of pure latency per event)
+        trees = jax.device_get(trees)
         for name, tree in trees.items():
             for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
                 parts = [str(getattr(p, "key", getattr(p, "name", p)))

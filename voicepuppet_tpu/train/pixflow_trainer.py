@@ -30,7 +30,8 @@ from voicepuppet_tpu.train.state import GANTrainState
 class PixFlowTrainer:
     def __init__(self, cfg: Config, mesh=None,
                  image_size: Optional[int] = None,
-                 train_dtype: Any = jnp.float32):
+                 train_dtype: Any = jnp.float32,
+                 log_gradients: bool = True):
         """``train_dtype=jnp.bfloat16`` = mixed-precision step: G/D conv
         activations in bf16 on the MXU, master params / Adam state / BN
         moments / losses float32 (same scheme as PixReferTrainer; no loss
@@ -38,6 +39,7 @@ class PixFlowTrainer:
         a net LOSS on v5e for the sibling PixRefer step (casts around the
         f32 BN moments outweigh MXU savings; docs/PERF.md) — default f32."""
         self.cfg = cfg
+        self.log_gradients = log_gradients
         self.img_size = image_size or cfg.pixflow.img_size
         self.mesh = mesh if mesh is not None else make_mesh()
         self.train_dtype = train_dtype
@@ -121,12 +123,15 @@ class PixFlowTrainer:
             metrics = {"discrim_loss": d_loss, "gen_loss": g_loss,
                        "gen_loss_GAN": jax.lax.pmean(gan_t, "data"),
                        "gen_loss_L1": jax.lax.pmean(l1_t, "data"),
-                       # gradient trees for TB histograms (the reference
-                       # logs every grad var; train_pixflow.py:113-115) —
-                       # device-resident until the logger's cadence
-                       # actually fetches them
-                       "_grads": {"discriminator": d_grads,
-                                  "generator": g_grads}}
+                       }
+            if self.log_gradients:
+                # gradient trees for TB histograms (the reference logs
+                # every grad var; train_pixflow.py:113-115) —
+                # device-resident until the logger's cadence fetches
+                # them; log_gradients=False keeps them out of the step's
+                # outputs entirely (a standing HBM copy otherwise)
+                metrics["_grads"] = {"discriminator": d_grads,
+                                     "generator": g_grads}
             return state, metrics
 
         mapped = jax.shard_map(step, mesh=self.mesh,

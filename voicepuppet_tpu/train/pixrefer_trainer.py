@@ -231,12 +231,24 @@ class PixReferTrainer:
             ckpt=None, seed: int = 0, steps_per_call: int = 1):
         """``steps_per_call=K`` packs K D+G steps per device dispatch
         (``train_multi_step``); summary/checkpoint cadences fire on
-        interval *crossings* (``state.step`` advances by 2 per iteration,
-        pixrefer.py:400,407, so a K-call strides 2K).  K=1 reproduces the
-        reference loop shape exactly (train_pixrefer.py:134-153)."""
+        interval *crossings*, at most once per dispatch (``state.step``
+        advances by 2 per iteration, pixrefer.py:400,407, so a K-call
+        strides 2K; 2K larger than an interval coarsens that cadence to
+        once-per-dispatch — warned).  K=1 reproduces the reference loop
+        shape exactly (train_pixrefer.py:134-153)."""
         rng = jax.random.PRNGKey(seed)
         tcfg = self.cfg.pixrefer.training
         k = max(1, int(steps_per_call))
+        if k > 1:
+            import warnings
+            for label, iv in (("summary_interval", tcfg.summary_interval),
+                              ("save_interval",
+                               ckpt.save_interval if ckpt else None)):
+                if iv and 2 * k > iv:
+                    warnings.warn(
+                        f"steps_per_call={k} (stride {2 * k}) exceeds "
+                        f"{label}={iv}: that cadence coarsens to once "
+                        "per dispatch")
         done = 0
         while done < num_steps:
             kk = min(k, num_steps - done)
