@@ -207,6 +207,119 @@ def test_pallas_render_texture_matches_xla():
                                   np.asarray(out_x.depth_buffer))
 
 
+def test_grouped_kernel_matches_sequential_spec(mesh):
+    """The grouped-RMW Mosaic kernel (one window read-modify-write per 4
+    consecutive triangles, merged with the order-free max-depth/min-id
+    rule) must match the sequential spec bit-exactly on a mesh-local
+    triangle order — and the mesh must actually take the grouped path
+    (fits=True), not the fallback."""
+    from voicepuppet_tpu.ops.raster_pallas import (
+        _grouped_table, render_colors_grouped_pallas)
+    import jax.numpy as jnp
+    verts, tris, colors = mesh
+    _, fits = _grouped_table(jnp.asarray(verts[None]), jnp.asarray(tris),
+                             H, W, 32, 4, pad_to=64)
+    assert bool(fits), "test mesh must exercise the grouped path"
+    want_img, want_mask = raster_ref.render_colors_ref(verts, tris, colors,
+                                                       H, W)
+    # fallback=False: the grouped kernel itself, no cond
+    got_img, got_mask = render_colors_grouped_pallas(
+        verts[None], colors[None], tris, h=H, w=W, fallback=False,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_mask[0]), want_mask)
+    np.testing.assert_array_equal(np.asarray(got_img[0]), want_img)
+    # the production configuration: batch 16 -> fb=8 interleave, chunk 64
+    # (multi-chunk grid), through the cond wrapper
+    vb = np.broadcast_to(verts[None], (16,) + verts.shape)
+    cb = np.broadcast_to(colors[None], (16,) + colors.shape)
+    img_b, mask_b = render_colors_grouped_pallas(vb, cb, tris, h=H, w=W,
+                                                 interpret=True)
+    for i in (0, 7, 15):
+        np.testing.assert_array_equal(np.asarray(mask_b[i]), want_mask)
+        np.testing.assert_array_equal(np.asarray(img_b[i]), want_img)
+
+
+def test_grouped_kernel_falls_back_on_scattered_mesh():
+    """A triangle order with NO screen locality (group row spread larger
+    than the window) must take the lax.cond fallback to the per-triangle
+    kernel and stay exact."""
+    from voicepuppet_tpu.ops.raster_pallas import (
+        _grouped_table, render_colors_grouped_pallas)
+    import jax.numpy as jnp
+    # two triangles in one group, 60 rows apart: cannot share a 32-row
+    # window
+    verts = np.array([[4.0, 2.0, 1.0], [28.0, 2.0, 1.0], [4.0, 10.0, 1.0],
+                      [4.0, 62.0, 2.0], [28.0, 62.0, 2.0],
+                      [4.0, 70.0, 2.0]], np.float32)
+    tris = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    colors = np.array([[200.0]] * 3 + [[50.0]] * 3, np.float32)
+    _, fits = _grouped_table(jnp.asarray(verts[None]), jnp.asarray(tris),
+                             96, 96, 32, 4, pad_to=64)
+    assert not bool(fits)
+    want_img, want_mask = raster_ref.render_colors_ref(verts, tris, colors,
+                                                       96, 96)
+    got_img, got_mask = render_colors_grouped_pallas(
+        verts[None], colors[None], tris, h=96, w=96, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_mask[0]), want_mask)
+    np.testing.assert_array_equal(np.asarray(got_img[0]), want_img)
+
+
+def test_grouped_kernel_in_group_depth_tie_first_wins():
+    """Two same-depth overlapping triangles inside ONE group: the
+    register merge must keep the lower id (the sequential first-wins
+    rule), and a LATER group at equal depth must lose to the buffer."""
+    from voicepuppet_tpu.ops.raster_pallas import (
+        render_colors_grouped_pallas)
+    # 6 overlapping same-depth triangles spanning two groups of 4
+    base = np.array([[4.0, 4.0, 1.0], [28.0, 4.0, 1.0], [4.0, 28.0, 1.0]],
+                    np.float32)
+    verts = np.concatenate([base + np.array([i * 0.25, 0.0, 0.0],
+                                            np.float32)
+                            for i in range(6)], axis=0)
+    tris = np.arange(18, dtype=np.int32).reshape(6, 3)
+    colors = np.concatenate([np.full((3, 1), 40.0 + 10 * i, np.float32)
+                             for i in range(6)], axis=0)
+    # compare against the per-triangle kernel (same f32 barycentric
+    # precision): this mesh puts diagonal edges exactly on pixel centers,
+    # where BOTH kernels legitimately diverge from the float64 sequential
+    # ref by one boundary pixel — the claim under test is that the
+    # grouped register merge preserves the per-triangle kernel's in-order
+    # tie semantics bit-exactly
+    from voicepuppet_tpu.ops.raster_pallas import render_colors_pallas
+    want_img, want_mask = render_colors_pallas(
+        verts[None], colors[None], tris, h=64, w=64, win=32,
+        interpret=True)
+    got_img, got_mask = render_colors_grouped_pallas(
+        verts[None], colors[None], tris, h=64, w=64, fallback=False,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_mask), np.asarray(want_mask))
+    np.testing.assert_array_equal(np.asarray(got_img), np.asarray(want_img))
+    # triangle 0's color (40) must own the overlap region
+    assert np.asarray(got_img[0])[10, 10, 0] == 40
+
+
+def test_grouped_kernel_degenerate_and_occlusion():
+    """Degenerate (zero-area) triangle quirk + cross-group occlusion both
+    survive the grouped merge."""
+    from voicepuppet_tpu.ops.raster_pallas import (
+        render_colors_grouped_pallas)
+    verts = np.array([
+        [10.0, 10.0, 1.0], [14.0, 10.0, 1.0], [12.0, 10.0, 1.0],  # degen
+        [2.0, 2.0, 5.0], [28.0, 2.0, 5.0], [2.0, 28.0, 5.0],      # near
+        [2.0, 2.0, 1.0], [28.0, 2.0, 1.0], [2.0, 28.0, 1.0],      # far
+    ], np.float32)
+    tris = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8]], np.int32)
+    colors = np.array([[90.0]] * 3 + [[200.0]] * 3 + [[50.0]] * 3,
+                      np.float32)
+    want_img, want_mask = raster_ref.render_colors_ref(verts, tris, colors,
+                                                       32, 32)
+    got_img, got_mask = render_colors_grouped_pallas(
+        verts[None], colors[None], tris, h=32, w=32, fallback=False,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_mask[0]), want_mask)
+    np.testing.assert_array_equal(np.asarray(got_img[0]), want_img)
+
+
 def test_pallas_nonpow2_fb_unroll_tail(mesh):
     """Regression: with an explicit non-power-of-two fb (allowed — fb
     must only divide B) the SMEM chunk is 512//fb, not a multiple of the

@@ -233,6 +233,223 @@ def rasterize_winner_pallas(vertices: jax.Array, triangles: jax.Array,
     return winner, depth
 
 
+def _grouped_table(vertices: jax.Array, triangles: jax.Array, h: int,
+                   w: int, win: int, group: int,
+                   pad_to: int) -> Tuple[jax.Array, jax.Array]:
+    """Per-triangle table with slot 15 = the SHARED window origin of each
+    ``group`` consecutive triangles, plus a scalar ``fits`` flag.
+
+    ``fits`` is True iff every real triangle's bbox rows land inside its
+    group's ``win``-row window — the precondition under which the grouped
+    kernel is bit-exact vs the sequential spec.  Pad rows get
+    ``y_min = h`` / ``y_max = -1`` so they neither drag a mixed group's
+    window origin nor trip the fits check (their empty x-bbox already
+    keeps them from drawing)."""
+    table = _triangle_table(vertices, triangles, h, w, win, pad_to=pad_to)
+    b, f_pad, _ = table.shape
+    f = triangles.shape[0]
+    if f_pad != f:
+        table = table.at[:, f:, 13].set(float(h))
+        table = table.at[:, f:, 14].set(-1.0)
+    assert f_pad % group == 0
+    ymin_g = jnp.min(table[:, :, 13].reshape(b, f_pad // group, group), -1)
+    y0g = jnp.clip(jnp.floor(ymin_g / 8.0) * 8.0, 0.0, float(h - win))
+    y0g = jnp.repeat(y0g, group, axis=1)
+    table = table.at[:, :, 15].set(y0g)
+    fits = jnp.all(table[:, :, 14] - y0g <= win - 1.0)
+    return table, fits
+
+
+def _raster_kernel_grouped(tri_ref, depth_ref, winner_ref, *, h: int,
+                           w: int, num_tri: int, win: int, fb: int,
+                           chunk: int, group: int):
+    """Grouped-RMW variant of :func:`_raster_kernel`: merge ``group``
+    consecutive triangles in registers with the order-free
+    (max-depth, min-id) rule — proven equivalent to the sequential C++
+    semantics in face3d/raster.py:14-23 — then do ONE depth/winner window
+    read-modify-write per group.  The round-3 kernel study
+    (docs/PERF.md) measured a structural ~30 ns/(triangle, frame) floor
+    tied to the per-triangle store->load RMW chain itself (halving vector
+    work or deleting whole buffers moved nothing); grouping divides the
+    chain length per frame by ``group``.
+
+    Requires every triangle's bbox rows inside its group's ``win``-row
+    window (the ``fits`` flag from :func:`_grouped_table`); callers fall
+    back to the per-triangle kernel otherwise."""
+    chunk_id = pl.program_id(1)
+
+    @pl.when(chunk_id == 0)
+    def _():
+        depth_ref[...] = jnp.full((fb, h, w), DEPTH_INIT, jnp.float32)
+        winner_ref[...] = jnp.full((fb, h, w), num_tri, jnp.int32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (win, w), 1).astype(
+        jnp.float32)
+    row_off = jax.lax.broadcasted_iota(jnp.int32, (win, w), 0).astype(
+        jnp.float32)
+
+    def one_group(j, fr):
+        base = j * group
+        y0g = pl.multiple_of(tri_ref[fr, base, 15].astype(jnp.int32), 8)
+        rows = row_off + y0g.astype(jnp.float32)
+        g_depth = jnp.full((win, w), DEPTH_INIT, jnp.float32)
+        g_id = jnp.full((win, w), num_tri, jnp.int32)
+        for k in range(group):
+            i = base + k
+            p0x = tri_ref[fr, i, 0]
+            p0y = tri_ref[fr, i, 1]
+            v0x = tri_ref[fr, i, 2]
+            v0y = tri_ref[fr, i, 3]
+            v1x = tri_ref[fr, i, 4]
+            v1y = tri_ref[fr, i, 5]
+            dot00 = tri_ref[fr, i, 6]
+            dot01 = tri_ref[fr, i, 7]
+            dot11 = tri_ref[fr, i, 8]
+            inv_deno = tri_ref[fr, i, 9]
+            flat_depth = tri_ref[fr, i, 10]
+            x_min = tri_ref[fr, i, 11]
+            x_max = tri_ref[fr, i, 12]
+            y_min = tri_ref[fr, i, 13]
+            y_max = tri_ref[fr, i, 14]
+
+            px = col - p0x
+            py = rows - p0y
+            dot02 = v0x * px + v0y * py
+            dot12 = v1x * px + v1y * py
+            u = (dot11 * dot02 - dot01 * dot12) * inv_deno
+            v = (dot00 * dot12 - dot01 * dot02) * inv_deno
+            inside = (u >= 0.0) & (v >= 0.0) & (u + v < 1.0)
+            in_box = ((col >= x_min) & (col <= x_max)
+                      & (rows >= y_min) & (rows <= y_max))
+            cand = jnp.where(inside & in_box, flat_depth, DEPTH_INIT)
+            # strict > keeps the earlier (lower-id) triangle on depth
+            # ties — the same first-wins rule the sequential loop applies
+            upd = cand > g_depth
+            g_depth = jnp.where(upd, cand, g_depth)
+            g_id = jnp.where(upd, jnp.int32(chunk_id * chunk + i), g_id)
+
+        d_win = depth_ref[fr, pl.ds(y0g, win), :]
+        upd = g_depth > d_win
+        depth_ref[fr, pl.ds(y0g, win), :] = jnp.where(upd, g_depth, d_win)
+        w_win = winner_ref[fr, pl.ds(y0g, win), :]
+        winner_ref[fr, pl.ds(y0g, win), :] = jnp.where(upd, g_id, w_win)
+
+    def body(j, _):
+        for fr in range(fb):
+            one_group(j, fr)
+        return 0
+
+    jax.lax.fori_loop(0, chunk // group, body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "win", "group", "fb",
+                                    "fallback", "interpret"))
+def rasterize_winner_grouped_pallas(vertices: jax.Array,
+                                    triangles: jax.Array, h: int = 224,
+                                    w: int = 224, win: int = 32,
+                                    group: int = 4,
+                                    fb: Optional[int] = None,
+                                    fallback: bool = True,
+                                    interpret: bool = False):
+    """Grouped-RMW winner raster: one window read-modify-write per
+    ``group`` consecutive triangles (see :func:`_raster_kernel_grouped`).
+
+    Bit-exact vs :func:`rasterize_winner_pallas` (and the sequential C++
+    spec) whenever each group's row spread fits the ``win``-row window —
+    true for mesh-local triangle orders like the BFM topology, where
+    consecutive triangles are screen-adjacent.  With ``fallback=True``
+    (default) a cheap XLA fits-check selects the per-triangle kernel via
+    ``lax.cond`` when any group does not fit, so the result is exact for
+    ARBITRARY input; ``fallback=False`` crops oversized groups (the same
+    caveat the per-triangle kernel has for triangles taller than
+    ``win - 7``)."""
+    assert win % 8 == 0 and win >= 8 and h >= win
+    b = vertices.shape[0]
+    f = triangles.shape[0]
+    if fb is None:
+        fb = _fb_for_batch(b)
+    assert b % fb == 0
+    chunk = 512 // fb
+    assert chunk % group == 0, (chunk, group)
+    verts = vertices.astype(jnp.float32)
+    table_g, fits = _grouped_table(verts, triangles, h, w, win, group,
+                                   pad_to=chunk)
+    nc = table_g.shape[1] // chunk
+
+    def run_grouped(tab):
+        kernel = functools.partial(_raster_kernel_grouped, h=h, w=w,
+                                   num_tri=f, win=win, fb=fb, chunk=chunk,
+                                   group=group)
+        return pl.pallas_call(
+            kernel,
+            grid=(b // fb, nc),
+            in_specs=[pl.BlockSpec((fb, chunk, 16),
+                                   lambda bi, ci: (bi, ci, 0),
+                                   memory_space=pltpu.SMEM)],
+            out_specs=(pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+                       jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
+            interpret=interpret,
+        )(tab)
+
+    if not fallback:
+        depth, winner = run_grouped(table_g)
+        return winner, depth
+
+    # per-triangle fallback at the SAME win (a superset window: covers
+    # anything the default 16-row window covers)
+    table_t = _triangle_table(verts, triangles, h, w, win, pad_to=chunk)
+
+    def run_pertri(tab):
+        kernel = functools.partial(_raster_kernel, h=h, w=w, num_tri=f,
+                                   win=win, fb=fb, chunk=chunk,
+                                   unroll=_unroll_for(chunk))
+        return pl.pallas_call(
+            kernel,
+            grid=(b // fb, nc),
+            in_specs=[pl.BlockSpec((fb, chunk, 16),
+                                   lambda bi, ci: (bi, ci, 0),
+                                   memory_space=pltpu.SMEM)],
+            out_specs=(pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+                       jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
+            interpret=interpret,
+        )(tab)
+
+    depth, winner = jax.lax.cond(
+        fits,
+        lambda tabs: run_grouped(tabs[0]),
+        lambda tabs: run_pertri(tabs[1]),
+        (table_g, table_t))
+    return winner, depth
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "win", "group", "fb",
+                                    "fallback", "interpret"))
+def render_colors_grouped_pallas(vertices: jax.Array, colors: jax.Array,
+                                 triangles: jax.Array, h: int = 224,
+                                 w: int = 224, win: int = 32,
+                                 group: int = 4,
+                                 fb: Optional[int] = None,
+                                 fallback: bool = True,
+                                 interpret: bool = False
+                                 ) -> Tuple[jax.Array, jax.Array]:
+    """Grouped-RMW variant of :func:`render_colors_pallas` (flat-shaded
+    z-buffer, exact C++ ordering semantics; mesh_core.cpp:169-231)."""
+    winner, _ = rasterize_winner_grouped_pallas(
+        vertices, triangles, h, w, win=win, group=group, fb=fb,
+        fallback=fallback, interpret=interpret)
+    return _flat_color_image(winner, colors, triangles, h, w)
+
+
 def _raster_kernel_interp(tri_ref, depth_ref, winner_ref, *, h: int,
                           w: int, num_tri: int, win: int, fb: int,
                           chunk: int, unroll: int = 4):
@@ -399,11 +616,19 @@ def render_colors_pallas(vertices: jax.Array, colors: jax.Array,
     """Drop-in fast path for face3d.raster.render_colors (flat-shaded
     z-buffer, exact C++ ordering semantics).  vertices [B,V,3],
     colors [B,V,C] (0-255 integral), triangles [F,3] int32."""
-    b = vertices.shape[0]
-    f = triangles.shape[0]
     winner, _ = rasterize_winner_pallas(vertices, triangles, h, w,
                                         win=win, fb=fb,
                                         interpret=interpret)
+    return _flat_color_image(winner, colors, triangles, h, w)
+
+
+def _flat_color_image(winner: jax.Array, colors: jax.Array,
+                      triangles: jax.Array, h: int, w: int
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Winner-id buffer -> flat-shaded uint8 image + coverage mask
+    ((int)((c0+c1+c2)/3) per channel, mesh_core.cpp:216-229)."""
+    b = colors.shape[0]
+    f = triangles.shape[0]
     tri_colors = colors[:, triangles, :]
     color_sum = jnp.sum(jnp.floor(tri_colors), axis=2)
     flat_color = jnp.floor(color_sum / 3.0)
