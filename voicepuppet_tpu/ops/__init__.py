@@ -1,25 +1,35 @@
 from voicepuppet_tpu.ops.raster_pallas import (render_colors_pallas,
+                                               render_colors_grouped_pallas,
                                                rasterize_triangles_pallas,
                                                rasterize_winner_pallas,
                                                render_texture_pallas)
 
 
 def render_colors_auto(vertices, colors, triangles, h: int = 224,
-                       w: int = 224, bb: int = 6):
+                       w: int = 224, bb: int = 6, group: int = 0):
     """Backend-dispatched flat-shaded raster: the Mosaic kernel on TPU,
     the XLA scatter formulation elsewhere (CPU tests / virtual meshes).
 
     ``bb`` = expected max triangle bbox span in pixels (scale it with the
-    canvas); the Mosaic kernel's aligned row window is derived from it."""
+    canvas); the Mosaic kernel's aligned row window is derived from it.
+
+    ``group`` > 0 selects the grouped-RMW kernel (one depth-window RMW
+    per ``group`` consecutive triangles; exact via order-free merge +
+    per-triangle fallback when the mesh order lacks screen locality —
+    ops/raster_pallas.py)."""
     import jax
     if jax.default_backend() == "tpu":
         win = max(16, -(-(bb + 7) // 8) * 8)
+        if group > 0:
+            return render_colors_grouped_pallas(
+                vertices, colors, triangles, h=h, w=w, win=win,
+                group=group)
         return render_colors_pallas(vertices, colors, triangles, h=h, w=w,
                                     win=win)
     from voicepuppet_tpu.face3d.raster import render_colors
     return render_colors(vertices, colors, triangles, h=h, w=w, bb=bb)
 
 
-__all__ = ["render_colors_pallas", "rasterize_winner_pallas",
-           "rasterize_triangles_pallas", "render_texture_pallas",
-           "render_colors_auto"]
+__all__ = ["render_colors_pallas", "render_colors_grouped_pallas",
+           "rasterize_winner_pallas", "rasterize_triangles_pallas",
+           "render_texture_pallas", "render_colors_auto"]

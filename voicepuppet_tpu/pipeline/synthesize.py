@@ -156,7 +156,8 @@ class Synthesizer:
                  gan_dtype=jnp.bfloat16,
                  bfmnet_dtype=jnp.float32,
                  transfer_format: str = "yuv420",
-                 drain_workers: int = 1):
+                 drain_workers: int = 1,
+                 raster_group: int = 0):
         """``mesh``: an optional jax.sharding.Mesh with a ``data`` axis —
         frame chunks are then sharded across it (inference sequence
         parallelism: the post-GRU frame path is embarrassingly parallel,
@@ -208,6 +209,12 @@ class Synthesizer:
         self._coeff_prog = jax.jit(self._coeff_program)
         self._frame_prog_cache: Dict = {}
         self._drain_pool = None
+        # raster_group > 0 selects the grouped-RMW Mosaic kernel (one
+        # depth-window RMW per `raster_group` consecutive triangles;
+        # exact — falls back per-triangle when the mesh order lacks
+        # screen locality).  Default 0 (per-triangle kernel) until the
+        # grouped A/B lands (experiments/profile_raster_grouped.py).
+        self.raster_group = int(raster_group)
         # drain worker count: tasks write disjoint frame slices, so any
         # count is ordering-safe.  DEFAULT 1 — measured on this dev host:
         # 2 workers is ~2.5x WORSE through the axon tunnel (interleaved
@@ -290,7 +297,8 @@ class Synthesizer:
                 colors = colors[..., ::-1]
             from voicepuppet_tpu.ops import render_colors_auto
             img224, _ = render_colors_auto(verts, colors, self.fm.tri,
-                                           h=rs, w=rs, bb=self.raster_bb)
+                                           h=rs, w=rs, bb=self.raster_bb,
+                                           group=self.raster_group)
             face = img224.astype(jnp.float32) / 255.0
             c = coeff.shape[0]
             face = jax.image.resize(face, (c, out_hw, out_hw, 3),
