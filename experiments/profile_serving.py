@@ -99,18 +99,22 @@ def bfmnet_ab():
     for name, (p1, pK) in progs.items():
         float(np.asarray(p1(pcm)))
         float(np.asarray(pK(pcm)))
-    mins = {}
+    # per-variant minima of w1 and wK SEPARATELY (CLAUDE.md timing
+    # methodology): min over rounds of the same-round difference lets one
+    # latency-spiked w1 produce an underestimated (even negative) per-step
+    mins1, minsK = {}, {}
     for r in range(6):
         for name, (p1, pK) in progs.items():
             t0 = time.perf_counter()
             float(np.asarray(p1(pcm)))
-            w1 = time.perf_counter() - t0
+            mins1[name] = min(mins1.get(name, 1e9),
+                              time.perf_counter() - t0)
             t0 = time.perf_counter()
             float(np.asarray(pK(pcm)))
-            wK = time.perf_counter() - t0
-            per = (wK - w1) / (K - 1)
-            mins[name] = min(mins.get(name, 1e9), per)
-    for name, per in mins.items():
+            minsK[name] = min(minsK.get(name, 1e9),
+                              time.perf_counter() - t0)
+    for name in progs:
+        per = (minsK[name] - mins1[name]) / (K - 1)
         print(f"bfmnet coeff pass T={t} {name}: {per*1e3:.1f} ms",
               flush=True)
 

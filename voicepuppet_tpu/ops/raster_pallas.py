@@ -188,6 +188,28 @@ def _raster_kernel(tri_ref, depth_ref, winner_ref, *, h: int, w: int,
     jax.lax.fori_loop(0, chunk // unroll, body, 0)
 
 
+def _winner_pallas_call(kernel, table: jax.Array, *, b: int, h: int,
+                        w: int, fb: int, nc: int, slots: int,
+                        interpret: bool):
+    """Shared pallas_call layout for every winner-raster kernel: SMEM
+    per-triangle table blocks, fb-interleaved VMEM depth/winner outputs
+    resident across the triangle-chunk grid dimension."""
+    return pl.pallas_call(
+        kernel,
+        grid=(b // fb, nc),
+        in_specs=[pl.BlockSpec((fb, table.shape[1] // nc, slots),
+                               lambda bi, ci: (bi, ci, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
+        interpret=interpret,
+    )(table)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("h", "w", "win", "fb", "interpret"))
 def rasterize_winner_pallas(vertices: jax.Array, triangles: jax.Array,
@@ -215,20 +237,9 @@ def rasterize_winner_pallas(vertices: jax.Array, triangles: jax.Array,
     kernel = functools.partial(_raster_kernel, h=h, w=w, num_tri=f,
                                win=win, fb=fb, chunk=chunk,
                                unroll=_unroll_for(chunk))
-    depth, winner = pl.pallas_call(
-        kernel,
-        grid=(b // fb, nc),
-        in_specs=[pl.BlockSpec((fb, chunk, 16),
-                               lambda bi, ci: (bi, ci, 0),
-                               memory_space=pltpu.SMEM)],
-        out_specs=(pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-                   jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
-        interpret=interpret,
-    )(table)
+    depth, winner = _winner_pallas_call(kernel, table, b=b, h=h, w=w,
+                                        fb=fb, nc=nc, slots=16,
+                                        interpret=interpret)
     # mask winners that never drew (padded triangles can't draw: empty bbox)
     return winner, depth
 
@@ -360,10 +371,12 @@ def rasterize_winner_grouped_pallas(vertices: jax.Array,
     true for mesh-local triangle orders like the BFM topology, where
     consecutive triangles are screen-adjacent.  With ``fallback=True``
     (default) a cheap XLA fits-check selects the per-triangle kernel via
-    ``lax.cond`` when any group does not fit, so the result is exact for
-    ARBITRARY input; ``fallback=False`` crops oversized groups (the same
-    caveat the per-triangle kernel has for triangles taller than
-    ``win - 7``)."""
+    ``lax.cond`` when any group does not fit, removing the GROUPING
+    precondition — what remains is the per-triangle kernel's own caveat:
+    individual triangles taller than ``win - 7`` rows are still cropped
+    by the aligned window (size ``win`` from the expected bbox span, as
+    ``render_colors_auto`` does).  ``fallback=False`` additionally crops
+    oversized groups."""
     assert win % 8 == 0 and win >= 8 and h >= win
     b = vertices.shape[0]
     f = triangles.shape[0]
@@ -377,56 +390,31 @@ def rasterize_winner_grouped_pallas(vertices: jax.Array,
                                    pad_to=chunk)
     nc = table_g.shape[1] // chunk
 
-    def run_grouped(tab):
-        kernel = functools.partial(_raster_kernel_grouped, h=h, w=w,
-                                   num_tri=f, win=win, fb=fb, chunk=chunk,
-                                   group=group)
-        return pl.pallas_call(
-            kernel,
-            grid=(b // fb, nc),
-            in_specs=[pl.BlockSpec((fb, chunk, 16),
-                                   lambda bi, ci: (bi, ci, 0),
-                                   memory_space=pltpu.SMEM)],
-            out_specs=(pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
-                                    memory_space=pltpu.VMEM)),
-            out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-                       jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
-            interpret=interpret,
-        )(tab)
+    def run(kernel, tab):
+        # one shared pallas_call layout: the fallback path must stay
+        # structurally identical to the grouped path (and to
+        # rasterize_winner_pallas) so a block-spec change can't silently
+        # diverge them
+        return _winner_pallas_call(kernel, tab, b=b, h=h, w=w, fb=fb,
+                                   nc=nc, slots=16, interpret=interpret)
 
+    grouped_kernel = functools.partial(_raster_kernel_grouped, h=h, w=w,
+                                       num_tri=f, win=win, fb=fb,
+                                       chunk=chunk, group=group)
     if not fallback:
-        depth, winner = run_grouped(table_g)
+        depth, winner = run(grouped_kernel, table_g)
         return winner, depth
 
     # per-triangle fallback at the SAME win (a superset window: covers
     # anything the default 16-row window covers)
     table_t = _triangle_table(verts, triangles, h, w, win, pad_to=chunk)
-
-    def run_pertri(tab):
-        kernel = functools.partial(_raster_kernel, h=h, w=w, num_tri=f,
-                                   win=win, fb=fb, chunk=chunk,
-                                   unroll=_unroll_for(chunk))
-        return pl.pallas_call(
-            kernel,
-            grid=(b // fb, nc),
-            in_specs=[pl.BlockSpec((fb, chunk, 16),
-                                   lambda bi, ci: (bi, ci, 0),
-                                   memory_space=pltpu.SMEM)],
-            out_specs=(pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
-                                    memory_space=pltpu.VMEM)),
-            out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-                       jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
-            interpret=interpret,
-        )(tab)
-
+    pertri_kernel = functools.partial(_raster_kernel, h=h, w=w, num_tri=f,
+                                      win=win, fb=fb, chunk=chunk,
+                                      unroll=_unroll_for(chunk))
     depth, winner = jax.lax.cond(
         fits,
-        lambda tabs: run_grouped(tabs[0]),
-        lambda tabs: run_pertri(tabs[1]),
+        lambda tabs: run(grouped_kernel, tabs[0]),
+        lambda tabs: run(pertri_kernel, tabs[1]),
         (table_g, table_t))
     return winner, depth
 
@@ -555,20 +543,9 @@ def rasterize_winner_interp_pallas(vertices: jax.Array,
     kernel = functools.partial(_raster_kernel_interp, h=h, w=w, num_tri=f,
                                win=win, fb=fb, chunk=chunk,
                                unroll=_unroll_for(chunk))
-    depth, winner = pl.pallas_call(
-        kernel,
-        grid=(b // fb, nc),
-        in_specs=[pl.BlockSpec((fb, chunk, 20),
-                               lambda bi, ci: (bi, ci, 0),
-                               memory_space=pltpu.SMEM)],
-        out_specs=(pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((fb, h, w), lambda bi, ci: (bi, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-                   jax.ShapeDtypeStruct((b, h, w), jnp.int32)),
-        interpret=interpret,
-    )(table)
+    depth, winner = _winner_pallas_call(kernel, table, b=b, h=h, w=w,
+                                        fb=fb, nc=nc, slots=20,
+                                        interpret=interpret)
     return winner, depth
 
 

@@ -93,8 +93,11 @@ class TorchScriptLandmarkProvider:
             return out[0].astype(np.float32)
         if out.ndim == 4 and out.shape[1] == 68:
             # the reference SAT decode resizes each heatmap to 128x128
-            # BEFORE argmax (utils/utils.py:135-140); match that effective
-            # resolution so coarse heatmaps don't quantize by a whole cell
+            # BEFORE argmax (utils/utils.py:135-140) — unconditionally,
+            # DOWNSIZING finer maps too; matching that exactly (rather
+            # than keeping a finer native resolution) is deliberate:
+            # landmark positions feed crop geometry pinned against the
+            # reference, so parity beats sub-cell accuracy here
             if out.shape[2:] != (128, 128):
                 with torch.no_grad():
                     out = torch.nn.functional.interpolate(

@@ -455,6 +455,23 @@ class Synthesizer:
             self._drain_pool.shutdown(wait=False)
             self._drain_pool = None
 
+    # the drain executor is lazily created and persists across
+    # render_frames calls (per-call setup was measured overhead,
+    # docs/PERF.md); context-manager + finalizer make sure the worker
+    # thread is released without requiring every caller to call close()
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def estimate_chunk_compute(self, identity: Identity, k: int = 8,
                                repeats: int = 3) -> float:
         """Dispatch/transfer-free seconds of device compute per
