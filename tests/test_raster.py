@@ -320,6 +320,32 @@ def test_grouped_kernel_degenerate_and_occlusion():
     np.testing.assert_array_equal(np.asarray(got_img[0]), want_img)
 
 
+def test_grouped_interp_kernel_matches_spec(mesh):
+    """The grouped interp-depth kernel (grouped register merge under
+    interpolated depth + 2px border override) must match the sequential
+    spec via the grouped path, and fall back exactly on non-local
+    orders."""
+    from voicepuppet_tpu.ops.raster_pallas import (
+        _grouped_table, rasterize_triangles_pallas)
+    import jax.numpy as jnp
+    verts, tris, colors = mesh
+    _, fits = _grouped_table(jnp.asarray(verts[None]), jnp.asarray(tris),
+                             H, W, 32, 4, pad_to=48)
+    assert bool(fits), "test mesh must exercise the grouped path"
+    want_d, want_t, want_w = raster_ref.rasterize_triangles_ref(
+        verts, tris, H, W)
+    out = rasterize_triangles_pallas(verts[None], tris, h=H, w=W, win=32,
+                                     group=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.depth_buffer[0]), want_d,
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out.triangle_buffer[0]),
+                                  want_t)
+    cov = want_t >= 0
+    np.testing.assert_allclose(
+        np.asarray(out.barycentric_weight[0])[cov], want_w[cov],
+        atol=1e-3)
+
+
 def test_pallas_nonpow2_fb_unroll_tail(mesh):
     """Regression: with an explicit non-power-of-two fb (allowed — fb
     must only divide B) the SMEM chunk is 512//fb, not a multiple of the

@@ -512,15 +512,112 @@ def _raster_kernel_interp(tri_ref, depth_ref, winner_ref, *, h: int,
     jax.lax.fori_loop(0, chunk // unroll, body, 0)
 
 
+def _raster_kernel_interp_grouped(tri_ref, depth_ref, winner_ref, *,
+                                  h: int, w: int, num_tri: int, win: int,
+                                  fb: int, chunk: int, group: int):
+    """Grouped-RMW variant of :func:`_raster_kernel_interp`: the same
+    register merge as :func:`_raster_kernel_grouped`, under the
+    interpolated-depth + 2px-border-override semantics
+    (mesh_core.cpp:108-166)."""
+    chunk_id = pl.program_id(1)
+
+    @pl.when(chunk_id == 0)
+    def _():
+        depth_ref[...] = jnp.full((fb, h, w), DEPTH_INIT, jnp.float32)
+        winner_ref[...] = jnp.full((fb, h, w), num_tri, jnp.int32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (win, w), 1).astype(
+        jnp.float32)
+    row_off = jax.lax.broadcasted_iota(jnp.int32, (win, w), 0).astype(
+        jnp.float32)
+    col_border = (col < 2.0) | (col > w - 3.0)
+
+    def one_group(j, fr):
+        base = j * group
+        y0g = pl.multiple_of(tri_ref[fr, base, 15].astype(jnp.int32), 8)
+        rows = row_off + y0g.astype(jnp.float32)
+        row_border = (rows < 2.0) | (rows > h - 3.0)
+        g_depth = jnp.full((win, w), DEPTH_INIT, jnp.float32)
+        g_id = jnp.full((win, w), num_tri, jnp.int32)
+        for k in range(group):
+            i = base + k
+            p0x = tri_ref[fr, i, 0]
+            p0y = tri_ref[fr, i, 1]
+            v0x = tri_ref[fr, i, 2]
+            v0y = tri_ref[fr, i, 3]
+            v1x = tri_ref[fr, i, 4]
+            v1y = tri_ref[fr, i, 5]
+            dot00 = tri_ref[fr, i, 6]
+            dot01 = tri_ref[fr, i, 7]
+            dot11 = tri_ref[fr, i, 8]
+            inv_deno = tri_ref[fr, i, 9]
+            x_min = tri_ref[fr, i, 11]
+            x_max = tri_ref[fr, i, 12]
+            y_min = tri_ref[fr, i, 13]
+            y_max = tri_ref[fr, i, 14]
+            z0 = tri_ref[fr, i, 16]
+            z1 = tri_ref[fr, i, 17]
+            z2 = tri_ref[fr, i, 18]
+
+            px = col - p0x
+            py = rows - p0y
+            dot02 = v0x * px + v0y * py
+            dot12 = v1x * px + v1y * py
+            u = (dot11 * dot02 - dot01 * dot12) * inv_deno
+            v = (dot00 * dot12 - dot01 * dot02) * inv_deno
+            inside = (u >= 0.0) & (v >= 0.0) & (u + v < 1.0)
+            in_box = ((col >= x_min) & (col <= x_max)
+                      & (rows >= y_min) & (rows <= y_max))
+            pdepth = (1.0 - u - v) * z0 + v * z1 + u * z2
+            cand = jnp.where((inside | col_border | row_border) & in_box,
+                             pdepth, DEPTH_INIT)
+            upd = cand > g_depth
+            g_depth = jnp.where(upd, cand, g_depth)
+            g_id = jnp.where(upd, jnp.int32(chunk_id * chunk + i), g_id)
+
+        d_win = depth_ref[fr, pl.ds(y0g, win), :]
+        upd = g_depth > d_win
+        depth_ref[fr, pl.ds(y0g, win), :] = jnp.where(upd, g_depth, d_win)
+        w_win = winner_ref[fr, pl.ds(y0g, win), :]
+        winner_ref[fr, pl.ds(y0g, win), :] = jnp.where(upd, g_id, w_win)
+
+    def body(j, _):
+        for fr in range(fb):
+            one_group(j, fr)
+        return 0
+
+    jax.lax.fori_loop(0, chunk // group, body, 0)
+
+
+def _append_z(table: jax.Array, verts: jax.Array, triangles: jax.Array
+              ) -> jax.Array:
+    """16-slot table -> 20-slot (z0, z1, z2, pad) for the interp kernels."""
+    b, f_pad, _ = table.shape
+    f = triangles.shape[0]
+    tri_z = verts[:, triangles, 2]                      # [B, F, 3]
+    if f_pad != f:
+        tri_z = jnp.concatenate(
+            [tri_z, jnp.zeros((b, f_pad - f, 3), jnp.float32)], axis=1)
+    return jnp.concatenate(
+        [table, tri_z, jnp.zeros((b, f_pad, 1), jnp.float32)], axis=-1)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("h", "w", "win", "fb", "interpret"))
+                   static_argnames=("h", "w", "win", "fb", "group",
+                                    "interpret"))
 def rasterize_winner_interp_pallas(vertices: jax.Array,
                                    triangles: jax.Array, h: int = 224,
                                    w: int = 224, win: int = WIN,
                                    fb: Optional[int] = None,
+                                   group: int = 0,
                                    interpret: bool = False):
     """Winner/depth buffers under the interpolated-depth + border-override
-    semantics (mesh_core.cpp:108-166)."""
+    semantics (mesh_core.cpp:108-166).
+
+    ``group`` > 0 uses the grouped-RMW kernel (one window RMW per
+    ``group`` consecutive triangles, exact order-free merge) with an XLA
+    fits-check falling back to the per-triangle kernel — see
+    :func:`rasterize_winner_grouped_pallas`."""
     assert win % 8 == 0 and win >= 8
     b = vertices.shape[0]
     f = triangles.shape[0]
@@ -530,55 +627,73 @@ def rasterize_winner_interp_pallas(vertices: jax.Array,
     # 20-wide rows: keep the (fb, chunk, 20) f32 SMEM block <= 32 KB
     chunk = max(8, (32768 // (fb * 20 * 4)) // 8 * 8)
     verts = vertices.astype(jnp.float32)
-    table = _triangle_table(verts, triangles, h, w, win, pad_to=chunk)
-    tri_z = verts[:, triangles, 2]                      # [B, F, 3]
-    f_pad = table.shape[1]
-    if f_pad != f:
-        tri_z = jnp.concatenate(
-            [tri_z, jnp.zeros((b, f_pad - f, 3), jnp.float32)], axis=1)
-    table = jnp.concatenate(
-        [table, tri_z, jnp.zeros((b, f_pad, 1), jnp.float32)], axis=-1)
-    nc = f_pad // chunk
+    table = _append_z(
+        _triangle_table(verts, triangles, h, w, win, pad_to=chunk),
+        verts, triangles)
+    nc = table.shape[1] // chunk
 
     kernel = functools.partial(_raster_kernel_interp, h=h, w=w, num_tri=f,
                                win=win, fb=fb, chunk=chunk,
                                unroll=_unroll_for(chunk))
-    depth, winner = _winner_pallas_call(kernel, table, b=b, h=h, w=w,
-                                        fb=fb, nc=nc, slots=20,
-                                        interpret=interpret)
+    if group <= 0:
+        depth, winner = _winner_pallas_call(kernel, table, b=b, h=h, w=w,
+                                            fb=fb, nc=nc, slots=20,
+                                            interpret=interpret)
+        return winner, depth
+
+    assert h >= win and chunk % group == 0, (chunk, group)
+    table16_g, fits = _grouped_table(verts, triangles, h, w, win, group,
+                                     pad_to=chunk)
+    table_g = _append_z(table16_g, verts, triangles)
+    grouped_kernel = functools.partial(
+        _raster_kernel_interp_grouped, h=h, w=w, num_tri=f, win=win,
+        fb=fb, chunk=chunk, group=group)
+    depth, winner = jax.lax.cond(
+        fits,
+        lambda tabs: _winner_pallas_call(grouped_kernel, tabs[0], b=b,
+                                         h=h, w=w, fb=fb, nc=nc, slots=20,
+                                         interpret=interpret),
+        lambda tabs: _winner_pallas_call(kernel, tabs[1], b=b, h=h, w=w,
+                                         fb=fb, nc=nc, slots=20,
+                                         interpret=interpret),
+        (table_g, table))
     return winner, depth
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("h", "w", "win", "fb", "interpret"))
+                   static_argnames=("h", "w", "win", "fb", "group",
+                                    "interpret"))
 def rasterize_triangles_pallas(vertices: jax.Array, triangles: jax.Array,
                                h: int = 224, w: int = 224, win: int = WIN,
-                               fb: Optional[int] = None,
+                               fb: Optional[int] = None, group: int = 0,
                                interpret: bool = False):
     """Mosaic fast path for face3d.raster.rasterize_triangles
     (mesh_core.cpp:108-166): winner kernel + shared XLA barycentric
     recompute.  Returns a face3d.raster.RasterOut."""
     from voicepuppet_tpu.face3d.raster import winner_weights
     winner, depth = rasterize_winner_interp_pallas(
-        vertices, triangles, h, w, win=win, fb=fb, interpret=interpret)
+        vertices, triangles, h, w, win=win, fb=fb, group=group,
+        interpret=interpret)
     return winner_weights(vertices.astype(jnp.float32), triangles,
                           winner, depth, h, w)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("h", "w", "win", "fb", "bilinear",
-                                    "interpret"))
+                   static_argnames=("h", "w", "win", "fb", "group",
+                                    "bilinear", "interpret"))
 def render_texture_pallas(vertices: jax.Array, triangles: jax.Array,
                           texture: jax.Array, tex_coords: jax.Array,
                           tex_triangles: jax.Array, h: int = 224,
                           w: int = 224, win: int = WIN,
-                          fb: Optional[int] = None, bilinear: bool = True,
+                          fb: Optional[int] = None, group: int = 0,
+                          bilinear: bool = True,
                           interpret: bool = False):
     """Mosaic fast path for face3d.raster.render_texture
     (mesh_core.cpp:234-333)."""
     from voicepuppet_tpu.face3d.raster import sample_texture
     out = rasterize_triangles_pallas(vertices, triangles, h, w, win=win,
-                                     fb=fb, interpret=interpret)
+                                     fb=fb, group=group,
+                                     interpret=interpret)
     return sample_texture(out, texture, tex_coords, tex_triangles,
                           bilinear)
 
