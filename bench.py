@@ -74,8 +74,12 @@ def main():
     # dispatch/drain round-trips through the high-latency tunnel
     # (latency-sensitive streaming uses chunk=16)
     chunk = int(os.environ.get("BENCH_CHUNK", "32"))
+    # grouped-RMW raster kernel (ops/raster_pallas.py): 0 = per-triangle
+    # kernel; default pending the TPU A/B (profile_raster_grouped.py)
+    raster_group = int(os.environ.get("BENCH_RASTER_GROUP", "0"))
     synth, identity = SynthesisAssets.demo(cfg, face_model=face_model,
-                                           chunk=chunk)
+                                           chunk=chunk,
+                                           raster_group=raster_group)
 
     seconds = 8.0
     sr = cfg.mel.sample_rate
