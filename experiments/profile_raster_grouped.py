@@ -45,6 +45,14 @@ cases = {
         v, tri, win=16, group=8, fb=8, fallback=False),
     "g4_w16_cond":  lambda v: rasterize_winner_grouped_pallas(
         v, tri, win=16, group=4, fb=8, fallback=True),
+    # w24: the robust middle — the production mesh's max group spread is
+    # 15 rows, exactly the w16 budget, so 1px of mesh motion could flip
+    # w16 groups to the fallback; w24 has 8 rows of slack at 1.5x the
+    # per-triangle vector work
+    "g4_w24":  lambda v: rasterize_winner_grouped_pallas(
+        v, tri, win=24, group=4, fb=8, fallback=False),
+    "g8_w24":  lambda v: rasterize_winner_grouped_pallas(
+        v, tri, win=24, group=8, fb=8, fallback=False),
     "g8_w32":  lambda v: rasterize_winner_grouped_pallas(
         v, tri, win=32, group=8, fb=8, fallback=False),
     "g16_w32": lambda v: rasterize_winner_grouped_pallas(
@@ -55,7 +63,8 @@ cases = {
 
 # fits preflight: a variant whose groups do NOT fit would crop (silently
 # wrong with fallback=False) — skip it
-for win, grp in [(16, 4), (16, 8), (32, 8), (32, 16), (32, 32)]:
+for win, grp in [(16, 4), (16, 8), (24, 4), (24, 8), (32, 8), (32, 16),
+                 (32, 32)]:
     _, fits = _grouped_table(verts.astype(jnp.float32), tri, H, W, win,
                              grp, pad_to=512)
     print(f"fits win={win} group={grp}: {bool(fits)}", flush=True)
