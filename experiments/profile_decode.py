@@ -6,11 +6,12 @@ K times inside ONE jit via lax.fori_loop (with a data dependence through
 the carry so XLA cannot hoist it), and per-iteration compute is
 (t_K - t_1) / (K - 1).
 """
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from experiments import _timing as timing
 
 from voicepuppet_tpu.face3d import bfm as bfm_mod
 from voicepuppet_tpu.face3d import morph
@@ -30,19 +31,6 @@ face_norm = morph.compute_norm(face_shape, fm)
 fn_pad = jnp.concatenate(
     [face_norm, jnp.zeros((B, 1, 3), jnp.float32)], axis=1)
 
-
-def repeat(f, k):
-    """jit(x -> scalar) running f k times with a carried perturbation."""
-    @jax.jit
-    def run(x):
-        def body(i, carry):
-            x_i, acc = carry
-            out = f(x_i)
-            s = jnp.sum(jax.tree_util.tree_leaves(out)[0])
-            return (x_i + 1e-30 * s, acc + s)
-        _, acc = jax.lax.fori_loop(0, k, body, (x, 0.0))
-        return acc
-    return run
 
 
 def shape_default(c):
@@ -84,27 +72,13 @@ cases = {
          face_shape),
 }
 
-progs = {}
-for name, (f, x) in cases.items():
-    progs[name] = (repeat(f, 1), repeat(f, K), x)
-    float(np.asarray(progs[name][0](x)))
-    float(np.asarray(progs[name][1](x)))
-print("compiled", flush=True)
+progs = timing.build_progs(cases, K)
 
-mins1 = {k: 1e9 for k in progs}
-minsK = {k: 1e9 for k in progs}
-for r in range(8):
-    for name, (f1, fK, x) in progs.items():
-        t0 = time.perf_counter()
-        float(np.asarray(f1(x)))
-        mins1[name] = min(mins1[name], time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(np.asarray(fK(x)))
-        minsK[name] = min(minsK[name], time.perf_counter() - t0)
-    print(f"round {r} done", flush=True)
+mins1, minsK = timing.interleaved_minima(progs, rounds=8)
+per_s = timing.per_iter(mins1, minsK, K)
 
 print(f"\nFINAL per-iteration compute (ms, B={B} frames, K={K}):")
 for name in progs:
-    per = (minsK[name] - mins1[name]) / (K - 1)
+    per = per_s[name]
     print(f"  {name:32s} {per*1e3:8.2f}   (t1={mins1[name]*1e3:.1f} "
           f"tK={minsK[name]*1e3:.1f})")

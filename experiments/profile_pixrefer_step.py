@@ -13,11 +13,12 @@ image input; the full G-loss grad; one Adam update per net; and the whole
 fused D+G step as the trainer jits it.
 """
 import dataclasses
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from experiments import _timing as timing
 import optax
 
 from voicepuppet_tpu.config import Config
@@ -51,18 +52,6 @@ fg = jnp.asarray(r.rand(B, S, S, 6).astype(np.float32) * 2 - 1)
 targets = jnp.asarray(r.rand(B, S, S, 3).astype(np.float32) * 2 - 1)
 masks = jnp.asarray((r.rand(B, S, S, 3) > 0.5).astype(np.float32))
 
-
-def repeat(f, k):
-    @jax.jit
-    def run(x):
-        def body(i, carry):
-            x_i, acc = carry
-            out = f(x_i)
-            s = jnp.sum(jax.tree_util.tree_leaves(out)[0])
-            return (x_i + 1e-30 * s, acc + s)
-        _, acc = jax.lax.fori_loop(0, k, body, (x, 0.0))
-        return acc
-    return run
 
 
 def g_forward(x):
@@ -177,27 +166,13 @@ cases = {
     "full_step (D+G, 2x adam)": full_step,
 }
 
-progs = {}
-for name, f in cases.items():
-    progs[name] = (repeat(f, 1), repeat(f, K))
-    float(np.asarray(progs[name][0](inputs)))
-    float(np.asarray(progs[name][1](inputs)))
-    print("compiled:", name, flush=True)
+progs = timing.build_progs({n: (f, inputs) for n, f in cases.items()}, K)
 
-mins1 = {k: 1e9 for k in progs}
-minsK = {k: 1e9 for k in progs}
-for rd in range(6):
-    for name, (f1, fK) in progs.items():
-        t0 = time.perf_counter()
-        float(np.asarray(f1(inputs)))
-        mins1[name] = min(mins1[name], time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(np.asarray(fK(inputs)))
-        minsK[name] = min(minsK[name], time.perf_counter() - t0)
-    print(f"round {rd} done", flush=True)
+mins1, minsK = timing.interleaved_minima(progs, rounds=6)
+per_s = timing.per_iter(mins1, minsK, K)
 
 print(f"\nFINAL per-iteration compute (ms, batch={B}, {S}², f32, K={K}):")
 for name in progs:
-    per = (minsK[name] - mins1[name]) / (K - 1)
+    per = per_s[name]
     print(f"  {name:34s} {per*1e3:8.1f}   (t1={mins1[name]*1e3:.0f} "
           f"tK={minsK[name]*1e3:.0f})")

@@ -7,11 +7,12 @@ Variants (perf signal; B/C are quirk-incorrect for degenerate triangles):
   D  depth-only (no winner buffer): lower-bound signal for store cost.
 """
 import functools
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from experiments import _timing as timing
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -120,18 +121,6 @@ def raster_b(vertices, winner=True):
     return win_buf, depth
 
 
-def repeat(f, k):
-    @jax.jit
-    def run(v):
-        def body(i, carry):
-            v_i, acc = carry
-            winner, depth = f(v_i)
-            s = jnp.sum(depth) + jnp.sum(winner).astype(jnp.float32)
-            return (v_i + 1e-30 * s, acc + s)
-        _, acc = jax.lax.fori_loop(0, k, body, (v, 0.0))
-        return acc
-    return run
-
 
 cases = {
     "A_production": lambda v: rasterize_winner_pallas(v, tri, fb=FB),
@@ -139,17 +128,7 @@ cases = {
     "D_depth_only": lambda v: raster_b(v, winner=False),
 }
 
-progs = {}
-for name, f in cases.items():
-    try:
-        p1, pK = repeat(f, 1), repeat(f, K)
-        float(np.asarray(p1(verts)))
-        float(np.asarray(pK(verts)))
-        progs[name] = (p1, pK)
-        print(f"compiled {name}", flush=True)
-    except Exception as e:
-        print(f"FAILED {name}: {type(e).__name__}: {str(e)[:300]}",
-              flush=True)
+progs = timing.build_progs({n: (f, verts) for n, f in cases.items()}, K)
 
 # sanity: B matches A on winners wherever A's winner is non-degenerate
 wa, da = jax.jit(lambda v: rasterize_winner_pallas(v, tri, fb=FB))(verts)
@@ -160,20 +139,11 @@ diff = (wa != wb).mean()
 print(f"winner mismatch fraction A vs B: {diff:.6f} "
       f"(expected >0 only from degenerate-quirk pixels)", flush=True)
 
-mins1 = {k: 1e9 for k in progs}
-minsK = {k: 1e9 for k in progs}
-for r in range(6):
-    for name, (f1, fK) in progs.items():
-        t0 = time.perf_counter()
-        float(np.asarray(f1(verts)))
-        mins1[name] = min(mins1[name], time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(np.asarray(fK(verts)))
-        minsK[name] = min(minsK[name], time.perf_counter() - t0)
-    print(f"round {r} done", flush=True)
+mins1, minsK = timing.interleaved_minima(progs, rounds=6)
+per_s = timing.per_iter(mins1, minsK, K)
 
 print(f"\nFINAL per-iteration (ms, {B} frames, {F} tris, K={K}):")
 for name in progs:
-    per = (minsK[name] - mins1[name]) / (K - 1)
+    per = per_s[name]
     ns = per / (B * F) * 1e9
     print(f"  {name:14s} {per*1e3:8.2f} ms  ({ns:5.1f} ns/tri-frame)")

@@ -7,11 +7,12 @@ Variants:
   F2U4  fb=2 frames x 4-triangle unroll (8 chains, fewer frames in VMEM)
 """
 import functools
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from experiments import _timing as timing
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -114,18 +115,6 @@ def raster_u(vertices, fb=8, unroll=2):
     return win_buf, depth
 
 
-def repeat(f, k):
-    @jax.jit
-    def run(v):
-        def body(i, carry):
-            v_i, acc = carry
-            winner, depth = f(v_i)
-            s = jnp.sum(depth) + jnp.sum(winner).astype(jnp.float32)
-            return (v_i + 1e-30 * s, acc + s)
-        _, acc = jax.lax.fori_loop(0, k, body, (v, 0.0))
-        return acc
-    return run
-
 
 cases = {
     "A_production": lambda v: rasterize_winner_pallas(v, tri, fb=8),
@@ -135,17 +124,7 @@ cases = {
     "U8_fb4":  lambda v: raster_u(v, fb=4, unroll=8),
 }
 
-progs = {}
-for name, f in cases.items():
-    try:
-        p1, pK = repeat(f, 1), repeat(f, K)
-        float(np.asarray(p1(verts)))
-        float(np.asarray(pK(verts)))
-        progs[name] = (p1, pK)
-        print(f"compiled {name}", flush=True)
-    except Exception as e:
-        print(f"FAILED {name}: {type(e).__name__}: {str(e)[:200]}",
-              flush=True)
+progs = timing.build_progs({n: (f, verts) for n, f in cases.items()}, K)
 
 # exact-parity check for the unrolled kernel
 wa, da = jax.jit(lambda v: rasterize_winner_pallas(v, tri, fb=8))(verts)
@@ -154,20 +133,11 @@ print("U4 winner exact:", bool((np.asarray(wa) == np.asarray(wu)).all()),
       "depth exact:", bool((np.asarray(da) == np.asarray(du)).all()),
       flush=True)
 
-mins1 = {k: 1e9 for k in progs}
-minsK = {k: 1e9 for k in progs}
-for r in range(6):
-    for name, (f1, fK) in progs.items():
-        t0 = time.perf_counter()
-        float(np.asarray(f1(verts)))
-        mins1[name] = min(mins1[name], time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(np.asarray(fK(verts)))
-        minsK[name] = min(minsK[name], time.perf_counter() - t0)
-    print(f"round {r} done", flush=True)
+mins1, minsK = timing.interleaved_minima(progs, rounds=6)
+per_s = timing.per_iter(mins1, minsK, K)
 
 print(f"\nFINAL per-iteration (ms, {B} frames, {F} tris, K={K}):")
 for name in progs:
-    per = (minsK[name] - mins1[name]) / (K - 1)
+    per = per_s[name]
     ns = per / (B * F) * 1e9
     print(f"  {name:14s} {per*1e3:8.2f} ms  ({ns:5.1f} ns/tri-frame)")

@@ -12,14 +12,14 @@ extra window rows at G<=8.
 
 Amortized in-jit K-repeat timing (CLAUDE.md: single-call timings under
 ~100 ms are tunnel latency), interleaved A/B in one process, per-variant
-minima.  Run on the real TPU chip.
+minima — via the shared experiments/_timing.py harness.  Run on the real
+TPU chip.
 """
-import functools
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from experiments import _timing as timing
 
 from voicepuppet_tpu.face3d import bfm as bfm_mod
 from voicepuppet_tpu.face3d import morph
@@ -62,7 +62,9 @@ cases = {
 }
 
 # fits preflight: a variant whose groups do NOT fit would crop (silently
-# wrong with fallback=False) — skip it
+# wrong with fallback=False) — skip it.  The `_cond` (fallback=True)
+# variants STAY either way: when groups don't fit, the fallback path's
+# real-world price is exactly the number the A/B decision needs
 for win, grp in [(16, 4), (16, 8), (24, 4), (24, 8), (32, 8), (32, 16),
                  (32, 32)]:
     _, fits = _grouped_table(verts.astype(jnp.float32), tri, H, W, win,
@@ -70,33 +72,9 @@ for win, grp in [(16, 4), (16, 8), (24, 4), (24, 8), (32, 8), (32, 16),
     print(f"fits win={win} group={grp}: {bool(fits)}", flush=True)
     if not bool(fits):
         cases.pop(f"g{grp}_w{win}", None)
-        cases.pop(f"g{grp}_w{win}_cond", None)
 
 
-def repeat(f, k):
-    @jax.jit
-    def run(v):
-        def body(i, carry):
-            v_i, acc = carry
-            winner, depth = f(v_i)
-            s = jnp.sum(depth) + jnp.sum(winner).astype(jnp.float32)
-            return (v_i + 1e-30 * s, acc + s)
-        _, acc = jax.lax.fori_loop(0, k, body, (v, 0.0))
-        return acc
-    return run
-
-
-progs = {}
-for name, f in cases.items():
-    try:
-        p1, pK = repeat(f, 1), repeat(f, K)
-        float(np.asarray(p1(verts)))
-        float(np.asarray(pK(verts)))
-        progs[name] = (p1, pK)
-        print(f"compiled {name}", flush=True)
-    except Exception as e:
-        print(f"FAILED {name}: {type(e).__name__}: {str(e)[:200]}",
-              flush=True)
+progs = timing.build_progs({n: (f, verts) for n, f in cases.items()}, K)
 
 # exact parity vs the production kernel (both flat-depth winner rasters)
 wa, da = jax.jit(lambda v: rasterize_winner_pallas(v, tri, fb=8))(verts)
@@ -108,20 +86,11 @@ for name, f in cases.items():
     ok_d = bool((np.asarray(da) == np.asarray(dg)).all())
     print(f"parity {name}: winner {ok_w} depth {ok_d}", flush=True)
 
-mins1 = {k: 1e9 for k in progs}
-minsK = {k: 1e9 for k in progs}
-for r in range(6):
-    for name, (f1, fK) in progs.items():
-        t0 = time.perf_counter()
-        float(np.asarray(f1(verts)))
-        mins1[name] = min(mins1[name], time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(np.asarray(fK(verts)))
-        minsK[name] = min(minsK[name], time.perf_counter() - t0)
-    print(f"round {r} done", flush=True)
+mins1, minsK = timing.interleaved_minima(progs, rounds=6)
+per = timing.per_iter(mins1, minsK, K)
 
 print(f"\nFINAL per-iteration (ms, {B} frames, {F} tris, K={K}):")
 for name in progs:
-    per = (minsK[name] - mins1[name]) / (K - 1)
-    ns = per / (B * F) * 1e9
-    print(f"  {name:14s} {per*1e3:8.2f} ms  ({ns:5.1f} ns/tri-frame)")
+    ns = per[name] / (B * F) * 1e9
+    print(f"  {name:14s} {per[name]*1e3:8.2f} ms  "
+          f"({ns:5.1f} ns/tri-frame)")

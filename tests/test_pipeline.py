@@ -319,6 +319,13 @@ def test_estimate_chunk_compute(demo):
     'Round-3 re-profile' methodology).  Pins that it runs on the small
     demo assets and returns a sane positive per-chunk time."""
     synth, identity = demo
-    per_chunk = synth.estimate_chunk_compute(identity, k=3, repeats=1)
+    # NaN means "tunnel/scheduler jitter swamped this sample" by design
+    # (synthesize.py returns it instead of fabricating a rate); on the
+    # loaded one-core CI host a single k-window can be preempted, so
+    # retry a few times rather than flake on one bad draw
+    for _ in range(4):
+        per_chunk = synth.estimate_chunk_compute(identity, k=3, repeats=2)
+        if np.isfinite(per_chunk):
+            break
     assert per_chunk > 0.0
     assert np.isfinite(per_chunk)

@@ -245,8 +245,9 @@ def rasterize_winner_pallas(vertices: jax.Array, triangles: jax.Array,
 
 
 def _grouped_table(vertices: jax.Array, triangles: jax.Array, h: int,
-                   w: int, win: int, group: int,
-                   pad_to: int) -> Tuple[jax.Array, jax.Array]:
+                   w: int, win: int, group: int, pad_to: int,
+                   base_table: Optional[jax.Array] = None
+                   ) -> Tuple[jax.Array, jax.Array]:
     """Per-triangle table with slot 15 = the SHARED window origin of each
     ``group`` consecutive triangles, plus a scalar ``fits`` flag.
 
@@ -255,8 +256,15 @@ def _grouped_table(vertices: jax.Array, triangles: jax.Array, h: int,
     kernel is bit-exact vs the sequential spec.  Pad rows get
     ``y_min = h`` / ``y_max = -1`` so they neither drag a mixed group's
     window origin nor trip the fits check (their empty x-bbox already
-    keeps them from drawing)."""
-    table = _triangle_table(vertices, triangles, h, w, win, pad_to=pad_to)
+    keeps them from drawing).
+
+    ``base_table``: a prebuilt :func:`_triangle_table` (16-slot) or
+    :func:`_append_z` (20-slot) table to derive from — fallback-enabled
+    callers keep that table for the ``lax.cond`` per-triangle branch, so
+    reusing it here avoids gathering the [B, F, 16] constants twice per
+    raster call.  Only slots 13/14 (pad rows) and 15 differ."""
+    table = (_triangle_table(vertices, triangles, h, w, win, pad_to=pad_to)
+             if base_table is None else base_table)
     b, f_pad, _ = table.shape
     f = triangles.shape[0]
     if f_pad != f:
@@ -386,8 +394,13 @@ def rasterize_winner_grouped_pallas(vertices: jax.Array,
     chunk = 512 // fb
     assert chunk % group == 0, (chunk, group)
     verts = vertices.astype(jnp.float32)
+    # fallback path reuses the per-triangle table as the grouped table's
+    # base: the two differ only in slots 13/14 (pads) and 15, so building
+    # [B, F, 16] constants once serves both lax.cond branches
+    table_t = (None if not fallback else
+               _triangle_table(verts, triangles, h, w, win, pad_to=chunk))
     table_g, fits = _grouped_table(verts, triangles, h, w, win, group,
-                                   pad_to=chunk)
+                                   pad_to=chunk, base_table=table_t)
     nc = table_g.shape[1] // chunk
 
     def run(kernel, tab):
@@ -407,7 +420,6 @@ def rasterize_winner_grouped_pallas(vertices: jax.Array,
 
     # per-triangle fallback at the SAME win (a superset window: covers
     # anything the default 16-row window covers)
-    table_t = _triangle_table(verts, triangles, h, w, win, pad_to=chunk)
     pertri_kernel = functools.partial(_raster_kernel, h=h, w=w, num_tri=f,
                                       win=win, fb=fb, chunk=chunk,
                                       unroll=_unroll_for(chunk))
@@ -642,9 +654,11 @@ def rasterize_winner_interp_pallas(vertices: jax.Array,
         return winner, depth
 
     assert h >= win and chunk % group == 0, (chunk, group)
-    table16_g, fits = _grouped_table(verts, triangles, h, w, win, group,
-                                     pad_to=chunk)
-    table_g = _append_z(table16_g, verts, triangles)
+    # derive the grouped table from the 20-slot fallback table already
+    # built above (only slots 13/14/15 change) — avoids a second
+    # [B, F, 16] constants gather AND a second _append_z z-gather
+    table_g, fits = _grouped_table(verts, triangles, h, w, win, group,
+                                   pad_to=chunk, base_table=table)
     grouped_kernel = functools.partial(
         _raster_kernel_interp_grouped, h=h, w=w, num_tri=f, win=win,
         fb=fb, chunk=chunk, group=group)

@@ -8,6 +8,7 @@ task.  Batch layout matches ATNetDataGenerator (generator.py:232-248).
 
 from __future__ import annotations
 
+import functools
 from typing import Iterator, Optional
 
 import jax
@@ -25,13 +26,18 @@ from voicepuppet_tpu.train.state import TrainState
 
 class ATNetTrainer:
     def __init__(self, cfg: Config, pca_component: np.ndarray, mesh=None,
-                 width_mult: float = 1.0, log_gradients: bool = True):
+                 width_mult: float = 1.0,
+                 log_gradients: Optional[bool] = None):
         """``log_gradients=False`` drops the gradient pytree from the
         step's metrics: the reference-cadence TB histograms need it
         (train_atnet.py:96-101), but when histogram logging is off it is
-        a standing extra gradient-tree copy in HBM every step."""
+        a standing extra gradient-tree copy in HBM every step.  Default
+        ``None`` = decide per call: ``fit`` asks the logger
+        (``MetricsLogger.wants_histograms``); direct ``train_step``
+        calls default to True."""
         self.cfg = cfg
         self.log_gradients = log_gradients
+        self._steps = {}
         self.mesh = mesh if mesh is not None else make_mesh()
         # reference batch 16 (train_atnet.py:41) rounded up to the mesh
         self.global_batch = mesh_global_batch(cfg.atnet.batch_size,
@@ -43,7 +49,6 @@ class ATNetTrainer:
         t = cfg.atnet.training
         self.tx = reference_adam(t.learning_rate, t.decay_steps,
                                  t.decay_rate, max_grad_norm=t.max_grad_norm)
-        self._train_step = data_parallel_step(self._step, self.mesh)
 
     def init_state(self, seed: int = 0, example_t: int = 25) -> TrainState:
         t = example_t
@@ -58,7 +63,15 @@ class ATNetTrainer:
         return TrainState.create(variables["params"],
                                  variables.get("batch_stats", {}), self.tx)
 
-    def _step(self, state: TrainState, batch, rng):
+    def _step_for(self, log_gradients: bool):
+        if log_gradients not in self._steps:
+            self._steps[log_gradients] = data_parallel_step(
+                functools.partial(self._step, log_gradients=log_gradients),
+                self.mesh)
+        return self._steps[log_gradients]
+
+    def _step(self, state: TrainState, batch, rng,
+              log_gradients: bool = True):
         landmark, ears, poses, mfccs, example_lmk, seq_len = batch
 
         def loss_of(params):
@@ -74,15 +87,19 @@ class ATNetTrainer:
             loss_of, has_aux=True)(state.params)
         state = state.apply_gradients(grads, batch_stats=batch_stats)
         metrics = {"loss": loss}
-        if self.log_gradients:
+        if log_gradients:
             # grads ride along for TB histograms (ref: train_atnet.py:
             # 96-101); off -> XLA never materializes them as outputs
             metrics["_grads"] = {"atnet": grads}
         return state, metrics
 
-    def train_step(self, state, host_batch, rng):
-        return self._train_step(state, shard_batch(host_batch, self.mesh),
-                                rng)
+    def train_step(self, state, host_batch, rng,
+                   log_gradients: Optional[bool] = None):
+        want = (log_gradients if log_gradients is not None
+                else self.log_gradients if self.log_gradients is not None
+                else True)
+        return self._step_for(want)(
+            state, shard_batch(host_batch, self.mesh), rng)
 
     def infer(self, state, ears, poses, mfccs, example_lmk, seq_len):
         return self.eval_model.apply(
@@ -92,9 +109,15 @@ class ATNetTrainer:
     def fit(self, state, batches: Iterator, num_steps: int, logger=None,
             ckpt=None, seed: int = 0):
         rng = jax.random.PRNGKey(seed)
+        # materialize gradient trees only if the logger would actually
+        # write histograms (constructor log_gradients overrides)
+        want_grads = (self.log_gradients if self.log_gradients is not None
+                      else logger is not None
+                      and getattr(logger, "wants_histograms", False))
         for _ in range(num_steps):
             rng, sub = jax.random.split(rng)
-            state, metrics = self.train_step(state, next(batches), sub)
+            state, metrics = self.train_step(state, next(batches), sub,
+                                             log_gradients=want_grads)
             grads = metrics.pop("_grads", None)
             if logger is not None:
                 logger.log(int(state.step), **metrics)

@@ -43,6 +43,13 @@ class MetricsLogger:
             from voicepuppet_tpu.utils.tb_writer import TBEventWriter
             self._tb = TBEventWriter(os.path.join(log_dir, "tb", name))
 
+    @property
+    def wants_histograms(self) -> bool:
+        """True iff histogram summaries would actually be written —
+        trainers use this to decide whether to materialize gradient trees
+        as step outputs at all (a standing HBM copy per step otherwise)."""
+        return self._tb is not None and bool(self.histogram_interval)
+
     def log(self, step: int, **metrics):
         rec = {"step": int(step), "wall_s": round(time.time() - self._t0, 3)}
         for k, v in metrics.items():

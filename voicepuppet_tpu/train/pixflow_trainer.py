@@ -31,15 +31,24 @@ class PixFlowTrainer:
     def __init__(self, cfg: Config, mesh=None,
                  image_size: Optional[int] = None,
                  train_dtype: Any = jnp.float32,
-                 log_gradients: bool = True):
+                 log_gradients: Optional[bool] = None):
         """``train_dtype=jnp.bfloat16`` = mixed-precision step: G/D conv
         activations in bf16 on the MXU, master params / Adam state / BN
         moments / losses float32 (same scheme as PixReferTrainer; no loss
         scaling needed — bf16 keeps float32's exponent range).  Measured
         a net LOSS on v5e for the sibling PixRefer step (casts around the
-        f32 BN moments outweigh MXU savings; docs/PERF.md) — default f32."""
+        f32 BN moments outweigh MXU savings; docs/PERF.md) — default f32.
+
+        ``log_gradients``: True materializes the D/G gradient trees as
+        step outputs for TB histograms (ref cadence,
+        train_pixflow.py:113-115); False keeps them out of the jitted
+        step entirely (a standing extra HBM gradient-tree copy per step
+        otherwise).  Default ``None`` = decide per call: ``fit`` asks
+        the logger (``MetricsLogger.wants_histograms``); direct
+        ``train_step`` calls default to True."""
         self.cfg = cfg
         self.log_gradients = log_gradients
+        self._steps = {}
         self.img_size = image_size or cfg.pixflow.img_size
         self.mesh = mesh if mesh is not None else make_mesh()
         self.train_dtype = train_dtype
@@ -53,7 +62,6 @@ class PixFlowTrainer:
                                      dtype=train_dtype)
         self.g_tx = gan_optimizer(cfg.pixflow.training)
         self.d_tx = gan_optimizer(cfg.pixflow.training)
-        self._train_step = self._build_step()
         self._infer_step = None
 
     def init_state(self, seed: int = 0) -> GANTrainState:
@@ -69,7 +77,12 @@ class PixFlowTrainer:
                                     batch_stats={}, g_tx=self.g_tx,
                                     d_tx=self.d_tx)
 
-    def _build_step(self):
+    def _step_for(self, log_gradients: bool):
+        if log_gradients not in self._steps:
+            self._steps[log_gradients] = self._build_step(log_gradients)
+        return self._steps[log_gradients]
+
+    def _build_step(self, log_gradients: bool):
         cfg = self.cfg.pixflow
 
         def step(state: GANTrainState, batch, rng):
@@ -124,7 +137,7 @@ class PixFlowTrainer:
                        "gen_loss_GAN": jax.lax.pmean(gan_t, "data"),
                        "gen_loss_L1": jax.lax.pmean(l1_t, "data"),
                        }
-            if self.log_gradients:
+            if log_gradients:
                 # gradient trees for TB histograms (the reference logs
                 # every grad var; train_pixflow.py:113-115) —
                 # device-resident until the logger's cadence fetches
@@ -139,9 +152,13 @@ class PixFlowTrainer:
                                out_specs=(P(), P()), check_vma=True)
         return jax.jit(mapped, donate_argnums=(0,))
 
-    def train_step(self, state, host_batch, rng):
-        return self._train_step(state, shard_batch(host_batch, self.mesh),
-                                rng)
+    def train_step(self, state, host_batch, rng,
+                   log_gradients: Optional[bool] = None):
+        want = (log_gradients if log_gradients is not None
+                else self.log_gradients if self.log_gradients is not None
+                else True)
+        return self._step_for(want)(
+            state, shard_batch(host_batch, self.mesh), rng)
 
     def infer(self, state, inputs, fg_inputs):
         """[0,1] in -> deprocessed outputs (ref: pixflow.py:364-384)."""
@@ -158,9 +175,15 @@ class PixFlowTrainer:
     def fit(self, state, batches: Iterator, num_steps: int, logger=None,
             ckpt=None, seed: int = 0):
         rng = jax.random.PRNGKey(seed)
+        # materialize gradient trees only if the logger would actually
+        # write histograms (constructor log_gradients overrides)
+        want_grads = (self.log_gradients if self.log_gradients is not None
+                      else logger is not None
+                      and getattr(logger, "wants_histograms", False))
         for _ in range(num_steps):
             rng, sub = jax.random.split(rng)
-            state, metrics = self.train_step(state, next(batches), sub)
+            state, metrics = self.train_step(state, next(batches), sub,
+                                             log_gradients=want_grads)
             grads = metrics.pop("_grads", None)
             if logger is not None:
                 logger.log(int(state.step), **metrics)

@@ -38,6 +38,15 @@ from voicepuppet_tpu.train.optim import gan_optimizer
 from voicepuppet_tpu.train.state import GANTrainState
 
 
+def _hit_interval(step: int, stride: int, kk: int, interval: int) -> bool:
+    """True iff any of this dispatch's ``kk`` step values
+    ``{step - stride*(kk-1), ..., step}`` is an exact multiple of
+    ``interval`` — the K>1 generalization of the reference loop's
+    ``global_step % interval == 0`` check (train_pixrefer.py:144-153,
+    where global_step strides by 2).  Fires at most once per dispatch."""
+    return any((step - stride * j) % interval == 0 for j in range(kk))
+
+
 class PixReferTrainer:
     def __init__(self, cfg: Config, mesh=None,
                  vgg_weights_path: Optional[str] = None,
@@ -230,12 +239,13 @@ class PixReferTrainer:
     def fit(self, state, batches: Iterator, num_steps: int, logger=None,
             ckpt=None, seed: int = 0, steps_per_call: int = 1):
         """``steps_per_call=K`` packs K D+G steps per device dispatch
-        (``train_multi_step``); summary/checkpoint cadences fire on
-        interval *crossings*, at most once per dispatch (``state.step``
-        advances by 2 per iteration, pixrefer.py:400,407, so a K-call
-        strides 2K; 2K larger than an interval coarsens that cadence to
-        once-per-dispatch — warned).  K=1 reproduces the reference loop
-        shape exactly (train_pixrefer.py:134-153)."""
+        (``train_multi_step``); summary/checkpoint cadences fire when one
+        of the dispatch's step values is an exact interval multiple, at
+        most once per dispatch (``state.step`` advances by 2 per
+        iteration, pixrefer.py:400,407, so a K-call strides 2K; 2K larger
+        than an interval coarsens that cadence to once-per-dispatch —
+        warned).  K=1 reproduces the reference loop shape exactly
+        (train_pixrefer.py:134-153)."""
         rng = jax.random.PRNGKey(seed)
         tcfg = self.cfg.pixrefer.training
         k = max(1, int(steps_per_call))
@@ -282,9 +292,14 @@ class PixReferTrainer:
                 for i, m in enumerate(metrics_rows):
                     logger.log(base + 2 * (i + 1), **m)
                 # image summaries at summary cadence
-                # (ref: train_pixrefer.py:101-131, 144-146)
-                if (step // tcfg.summary_interval
-                        > (step - 2 * kk) // tcfg.summary_interval):
+                # (ref: train_pixrefer.py:101-131, 144-146).  Fire iff
+                # one of this dispatch's kk step values (stride 2) is an
+                # EXACT multiple of the interval — a plain floor-division
+                # crossing test would also fire on odd multiples the
+                # stride-2 counter never lands on (e.g. interval 25 at
+                # step 26), which the reference's `step % iv == 0` never
+                # does
+                if _hit_interval(step, 2, kk, tcfg.summary_interval):
                     inputs, fg_inputs, targets, masks = batch
                     outputs, out_fg = self.infer(state, inputs[:1],
                                                  fg_inputs[:1],
@@ -295,9 +310,8 @@ class PixReferTrainer:
                          np.clip(np.asarray(outputs[0]), 0, 1)], axis=1)
                     logger.log_image(step, "pixrefer", strip)
             if ckpt is not None:
-                if (step // ckpt.save_interval
-                        > (step - 2 * kk) // ckpt.save_interval
-                        and step > 0):
+                if _hit_interval(step, 2, kk, ckpt.save_interval) \
+                        and step > 0:
                     ckpt.save(step, state)
         return state
 
