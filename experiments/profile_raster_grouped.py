@@ -15,9 +15,10 @@ Amortized in-jit K-repeat timing (CLAUDE.md: single-call timings under
 minima — via the shared experiments/_timing.py harness.  Run on the real
 TPU chip.
 """
+import functools
+
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from experiments import _timing as timing
 
@@ -31,9 +32,18 @@ B, K, H, W = 16, 8, 224, 224
 model = bfm_mod.synthetic_bfm(num_theta=189, num_phi=189, seed=0)
 fm = morph.device_bfm(model)
 coeff = jnp.asarray(bfm_mod.demo_coeff(model, batch=B, seed=1))
-rec = morph.reconstruct(coeff, fm)
-verts = jax.device_put(np.asarray(jnp.concatenate(
-    [rec.face_projection, rec.z_buffer], axis=-1)))
+
+
+# one jit, no host round-trip: eager reconstruct pays ~27 ms tunnel
+# latency PER OP and a d2h of the whole vertex buffer — both fragile
+# through tunnel weather (a FailedPrecondition killed the first run here)
+@jax.jit
+def _make_verts(c):
+    rec = morph.reconstruct(c, fm)
+    return jnp.concatenate([rec.face_projection, rec.z_buffer], axis=-1)
+
+
+verts = _make_verts(coeff)
 tri = fm.tri
 F = tri.shape[0]
 
@@ -65,26 +75,38 @@ cases = {
 # wrong with fallback=False) — skip it.  The `_cond` (fallback=True)
 # variants STAY either way: when groups don't fit, the fallback path's
 # real-world price is exactly the number the A/B decision needs
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _fits(v, win, grp):
+    return _grouped_table(v.astype(jnp.float32), tri, H, W, win, grp,
+                          pad_to=512)[1]
+
+
 for win, grp in [(16, 4), (16, 8), (24, 4), (24, 8), (32, 8), (32, 16),
                  (32, 32)]:
-    _, fits = _grouped_table(verts.astype(jnp.float32), tri, H, W, win,
-                             grp, pad_to=512)
-    print(f"fits win={win} group={grp}: {bool(fits)}", flush=True)
-    if not bool(fits):
+    fits = bool(_fits(verts, win, grp))
+    print(f"fits win={win} group={grp}: {fits}", flush=True)
+    if not fits:
         cases.pop(f"g{grp}_w{win}", None)
 
 
 progs = timing.build_progs({n: (f, verts) for n, f in cases.items()}, K)
 
-# exact parity vs the production kernel (both flat-depth winner rasters)
-wa, da = jax.jit(lambda v: rasterize_winner_pallas(v, tri, fb=8))(verts)
+# exact parity vs the production kernel (both flat-depth winner rasters).
+# Reduce to TWO scalars on device — fetching the full [B,H,W] buffers is
+# ~51 MB of d2h, minutes of tunnel time in bad weather
 for name, f in cases.items():
     if name == "pertri_w16" or name not in progs:
         continue
-    wg, dg = jax.jit(f)(verts)
-    ok_w = bool((np.asarray(wa) == np.asarray(wg)).all())
-    ok_d = bool((np.asarray(da) == np.asarray(dg)).all())
-    print(f"parity {name}: winner {ok_w} depth {ok_d}", flush=True)
+
+    @jax.jit
+    def _parity(v, f=f):
+        wa, da = rasterize_winner_pallas(v, tri, fb=8)
+        wg, dg = f(v)
+        return (wa == wg).all(), (da == dg).all()
+
+    ok_w, ok_d = _parity(verts)
+    print(f"parity {name}: winner {bool(ok_w)} depth {bool(ok_d)}",
+          flush=True)
 
 mins1, minsK = timing.interleaved_minima(progs, rounds=6)
 per = timing.per_iter(mins1, minsK, K)
