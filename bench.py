@@ -75,7 +75,8 @@ def main():
     # (latency-sensitive streaming uses chunk=16)
     chunk = int(os.environ.get("BENCH_CHUNK", "32"))
     # grouped-RMW raster kernel (ops/raster_pallas.py): 0 = per-triangle
-    # kernel; default pending the TPU A/B (profile_raster_grouped.py)
+    # kernel — measured FASTER than every grouped configuration on the
+    # real chip (docs/PERF.md "Grouped-RMW kernel — measured, REJECTED")
     raster_group = int(os.environ.get("BENCH_RASTER_GROUP", "0"))
     synth, identity = SynthesisAssets.demo(cfg, face_model=face_model,
                                            chunk=chunk,

@@ -212,8 +212,9 @@ class Synthesizer:
         # raster_group > 0 selects the grouped-RMW Mosaic kernel (one
         # depth-window RMW per `raster_group` consecutive triangles;
         # exact — falls back per-triangle when the mesh order lacks
-        # screen locality).  Default 0 (per-triangle kernel) until the
-        # grouped A/B lands (experiments/profile_raster_grouped.py).
+        # screen locality).  Default 0: the real-chip A/B measured every
+        # grouped configuration SLOWER than the per-triangle kernel
+        # (docs/PERF.md "Grouped-RMW kernel — measured, REJECTED").
         self.raster_group = int(raster_group)
         # drain worker count: tasks write disjoint frame slices, so any
         # count is ordering-safe.  DEFAULT 1 — measured on this dev host:
