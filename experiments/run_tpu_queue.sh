@@ -6,9 +6,13 @@
 #
 # Runs, sequentially (never concurrently — the chip and the tunnel are
 # both contention-sensitive):
-#   1. grouped-RMW raster kernel A/B   (docs/PERF.md "Grouped-RMW kernel")
+#   1. grouped-RMW raster kernel A/B — DONE round 3: every grouped
+#      variant slower; result transcribed into docs/PERF.md ("Grouped-RMW
+#      kernel — measured, REJECTED").  Kept here for re-runs.
 #   2. PixRefer VGG-split perceptual A/B + device-resident steps/s
 # and tees each log into $OUT for later transcription into docs/PERF.md.
+# NOTE: item 2's first compile (K-repeated full GAN step at 512²) takes
+# 20+ min on this 1-core host — no output until "compiled ..." prints.
 set -u
 OUT=${1:-/tmp/tpu_queue}
 mkdir -p "$OUT"
