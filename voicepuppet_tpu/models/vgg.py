@@ -31,8 +31,13 @@ class VGG16Features(nn.Module):
     ``dtype=bfloat16`` runs the 3x3 conv stacks on the MXU in bf16 (the
     trunk is a frozen feature extractor, so activation precision only
     perturbs the perceptual loss; the L2 reduction itself is always
-    accumulated in float32 by ``perceptual_loss``)."""
+    accumulated in float32 by ``perceptual_loss``).
+
+    ``widths`` defaults to the reference VGG-16 channels; narrower widths
+    exist so checkpoint-bridge tests can run end-to-end at fixture scale
+    (the slim names and layer structure are width-independent)."""
     dtype: Any = jnp.float32
+    widths: Tuple[int, int, int, int] = (64, 128, 256, 512)
 
     @nn.compact
     def __call__(self, x):
@@ -46,16 +51,16 @@ class VGG16Features(nn.Module):
                 x = jax.nn.relu(x)
             return x
 
-        x = stack(x, 2, 64, "conv1")
+        x = stack(x, 2, self.widths[0], "conv1")
         ends.append(x)                                   # conv1_2
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = stack(x, 2, 128, "conv2")
+        x = stack(x, 2, self.widths[1], "conv2")
         ends.append(x)                                   # conv2_2
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = stack(x, 3, 256, "conv3")
+        x = stack(x, 3, self.widths[2], "conv3")
         ends.append(x)                                   # conv3_3
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = stack(x, 3, 512, "conv4")
+        x = stack(x, 3, self.widths[3], "conv4")
         ends.append(x)                                   # conv4_3
         return tuple(ends)
 
@@ -68,7 +73,10 @@ def init_vgg(rng, image_size: int = 64):
 
 def load_weights(npz_path: str, params):
     """Overlay converted slim-ckpt weights (saved as ``conv{i}_{j}_kernel``
-    / ``conv{i}_{j}_bias`` arrays) onto the init pytree."""
+    / ``conv{i}_{j}_bias`` arrays) onto the init pytree.
+
+    To load the released ``vgg_16.ckpt`` directly (TF-free, no npz step)
+    use :func:`voicepuppet_tpu.tools.tf_bundle.load_vgg16_checkpoint`."""
     blob = np.load(npz_path)
     out = jax.tree_util.tree_map(lambda x: x, params)
     for name in list(out.keys()):

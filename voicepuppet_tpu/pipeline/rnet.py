@@ -182,9 +182,25 @@ def load_rnet_npz(path: str, variables):
     """Overlay a slim-named npz dump onto the flax RNet tree.  Returns
     (new_variables, loaded, missing) — a wrong name or shape lands in
     ``missing`` (fail-loud; round-1 converter principle)."""
-    from voicepuppet_tpu.tools.tf_checkpoint import _deep_mutable, _get, _set
     blob = np.load(path)
     available = {k.replace("|", "/"): blob[k] for k in blob.files}
+    return load_rnet_arrays(available, variables)
+
+
+def load_rnet_graphdef(path: str, variables):
+    """``FaceReconModel.pb`` -> flax RNet tree, TF-free: extract the
+    ``resnet_v1_50`` Const weights straight from the frozen GraphDef
+    (the asset the reference loads at infer_bfmvid.py:46-50) with the
+    certified pure-NumPy parser.  Returns (new_variables, loaded,
+    missing)."""
+    from voicepuppet_tpu.tools.tf_bundle import read_graphdef_consts
+    return load_rnet_arrays(
+        read_graphdef_consts(path, name_filter=r"resnet_v1_50"), variables)
+
+
+def load_rnet_arrays(available: Dict[str, np.ndarray], variables):
+    """Core slim-named-arrays -> flax-RNet-tree overlay."""
+    from voicepuppet_tpu.tools.tf_checkpoint import _deep_mutable, _get, _set
     out = {k: _deep_mutable(v) for k, v in dict(variables).items()}
     loaded, missing = [], []
     for tf_name, coll, fpath in _rnet_name_rows():
@@ -214,6 +230,17 @@ class RNetIdentityProvider:
             raise ValueError(
                 f"rnet npz {weights_path}: {len(missing)} unmapped "
                 f"variables, e.g. {missing[:3]}")
+        return cls(variables=variables, lm3d=lm3d)
+
+    @classmethod
+    def from_pb(cls, pb_path: str, lm3d: np.ndarray):
+        """Load the reference's ``FaceReconModel.pb`` directly (TF-free)."""
+        _, variables = init_rnet()
+        variables, loaded, missing = load_rnet_graphdef(pb_path, variables)
+        if missing:
+            raise ValueError(
+                f"rnet pb {pb_path}: {len(missing)} unmapped variables, "
+                f"e.g. {missing[:3]}")
         return cls(variables=variables, lm3d=lm3d)
 
     def __call__(self, image: np.ndarray, landmarks68: np.ndarray,

@@ -644,6 +644,48 @@ class SynthesisAssets:
                            mesh=mesh, **synth_kwargs)
 
     @staticmethod
+    def from_tf_checkpoints(cfg: Config, bfmnet_prefix: str,
+                            pixrefer_prefix: str, face_model=None,
+                            mesh=None, **synth_kwargs) -> "Synthesizer":
+        """Compose the reference's RELEASED TF checkpoints directly —
+        ``ckpt_bfmnet/bfmnet-65000`` + ``ckpt_pixrefer/pixrefernet-20000``
+        (infer_bfmvid.py:207-218) — with no TensorFlow and no npz step:
+        the V2 TensorBundle files are read by the certified pure-NumPy
+        parser (tools/tf_bundle.py) and name-mapped onto the flax trees
+        (tools/tf_checkpoint.py).  Fails loudly on any unmapped variable.
+        """
+        from voicepuppet_tpu.tools.tf_checkpoint import (load_bfmnet_ckpt,
+                                                         load_pixrefer_ckpt)
+
+        face_model = face_model or bfm_mod.synthetic_bfm(num_theta=48,
+                                                         num_phi=48)
+        rng = jax.random.PRNGKey(0)
+        bfmnet = BFMNet(cfg.bfmnet)
+        t = 8
+        bfm_vars = bfmnet.init(
+            {"params": rng, "dropout": rng},
+            jnp.zeros((1, t, 1)), jnp.zeros((1, t * 5, 80)),
+            jnp.full((1,), t, jnp.int32), train=False)
+        bfm_vars, _, bfm_missing = load_bfmnet_ckpt(bfmnet_prefix, bfm_vars)
+        if bfm_missing:
+            raise ValueError(
+                f"bfmnet ckpt {bfmnet_prefix}: {len(bfm_missing)} unmapped "
+                f"variables, e.g. {bfm_missing[:3]}")
+        s = cfg.pixrefer.img_size
+        gen = px.PixReferNet(cfg.pixrefer)
+        g_vars = gen.init(jax.random.fold_in(rng, 1),
+                          jnp.zeros((1, s, s, 6)), jnp.zeros((1, s, s, 6)),
+                          jnp.zeros((1, s, s, 3)))
+        (g_vars, _, g_missing), _ = load_pixrefer_ckpt(pixrefer_prefix,
+                                                       g_vars)
+        if g_missing:
+            raise ValueError(
+                f"pixrefer ckpt {pixrefer_prefix}: {len(g_missing)} "
+                f"unmapped variables, e.g. {g_missing[:3]}")
+        return Synthesizer(cfg, face_model, bfm_vars, g_vars["params"],
+                           mesh=mesh, **synth_kwargs)
+
+    @staticmethod
     def demo(cfg: Config, seed: int = 0, face_model=None,
              **synth_kwargs) -> Tuple[Synthesizer, Identity]:
         face_model = face_model or bfm_mod.synthetic_bfm(num_theta=48,
@@ -704,6 +746,15 @@ def main(argv=None):
     p.add_argument("--rnet_npz", default=None,
                    help="slim-named npz dump of the Deep3DFace R-Net "
                         "(pipeline.rnet; converted from FaceReconModel.pb)")
+    p.add_argument("--rnet_pb", default=None,
+                   help="the reference's FaceReconModel.pb itself "
+                        "(infer_bfmvid.py:46-50) — parsed TF-free")
+    p.add_argument("--bfmnet_tf_ckpt", default=None,
+                   help="reference TF checkpoint prefix (e.g. "
+                        "ckpt_bfmnet/bfmnet-65000) — loaded TF-free")
+    p.add_argument("--pixrefer_tf_ckpt", default=None,
+                   help="reference TF checkpoint prefix (e.g. "
+                        "ckpt_pixrefer/pixrefernet-20000) — loaded TF-free")
     p.add_argument("image")
     p.add_argument("audio")
     args = p.parse_args(argv)
@@ -711,10 +762,22 @@ def main(argv=None):
     cfg = load_config(args.config_path)
     if (args.bfmnet_ckpt is None) != (args.pixrefer_ckpt is None):
         p.error("--bfmnet_ckpt and --pixrefer_ckpt must be given together")
-    if (args.landmark_model is None) != (args.rnet_npz is None):
-        p.error("--landmark_model and --rnet_npz must be given together "
-                "(the novel-face identity path needs both)")
-    if args.bfmnet_ckpt is not None:
+    if (args.bfmnet_tf_ckpt is None) != (args.pixrefer_tf_ckpt is None):
+        p.error("--bfmnet_tf_ckpt and --pixrefer_tf_ckpt must be given "
+                "together")
+    rnet_weights = args.rnet_npz or args.rnet_pb
+    if (args.landmark_model is None) != (rnet_weights is None):
+        p.error("--landmark_model and --rnet_npz/--rnet_pb must be given "
+                "together (the novel-face identity path needs both)")
+    if args.bfmnet_tf_ckpt is not None:
+        # the reference's released assets, no TF required
+        face_model = _resolve_face_model(cfg)
+        synth = SynthesisAssets.from_tf_checkpoints(
+            cfg, args.bfmnet_tf_ckpt, args.pixrefer_tf_ckpt,
+            face_model=face_model)
+        identity = synthetic_identity(face_model,
+                                      img_size=cfg.pixrefer.img_size)
+    elif args.bfmnet_ckpt is not None:
         # the product path: compose the two trained checkpoints
         # (infer_bfmvid.py:207-218); identity still comes from
         # --identity_npz or the demo fallback
@@ -734,7 +797,7 @@ def main(argv=None):
                             center_y=int(blob["center_y"]),
                             ratio=float(blob["ratio"]),
                             colors_bgr=bool(blob.get("colors_bgr", True)))
-    elif args.landmark_model and args.rnet_npz:
+    elif args.landmark_model and rnet_weights:
         # the reference's novel-face path, executable end to end: detect
         # 68 landmarks -> SAT crop geometry -> R-Net identity coeff
         # (infer_bfmvid.py:170-173; utils/utils.py:36-147)
@@ -751,8 +814,10 @@ def main(argv=None):
         if out is None:
             raise SystemExit("no face detected by --landmark_model")
         _, lmk68, img_cropped, lmk_c, cx, cy, ratio = out
-        provider = RNetIdentityProvider.from_npz(
-            args.rnet_npz, load_lm3d(cfg.model_dir))
+        lm3d = load_lm3d(cfg.model_dir)
+        provider = (RNetIdentityProvider.from_pb(args.rnet_pb, lm3d)
+                    if args.rnet_pb else
+                    RNetIdentityProvider.from_npz(args.rnet_npz, lm3d))
         identity = provider(img_cropped, lmk_c, cx, cy, ratio)
     bgs = cycling_backgrounds(args.background_dir, cfg.pixrefer.img_size)
     frames = synth.synthesize(args.image, args.audio, identity,

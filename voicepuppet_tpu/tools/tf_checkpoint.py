@@ -1,19 +1,14 @@
-"""Reference-checkpoint weight conversion (BFMNet).
+"""Reference-checkpoint weight conversion (BFMNet / PixRefer).
 
 The reference ships TF1 checkpoints (``ckpt_bfmnet/bfmnet-65000``,
 infer_bfmvid.py:217); loading them into the flax tree needs a name/layout
-mapping (SURVEY.md §7 hard part #3).  TensorFlow is not available in this
-image, so the workflow is two-stage:
-
-1. In any TF1 environment, dump the checkpoint to npz::
-
-       import tensorflow as tf, numpy as np
-       r = tf.train.load_checkpoint("ckpt_bfmnet/bfmnet-65000")
-       np.savez("bfmnet_tf.npz", **{k.replace("/", "|"): r.get_tensor(k)
-                for k in r.get_variable_to_shape_map()})
-
-2. Here, :func:`load_bfmnet_npz` maps TF variable names onto the flax
-   parameter/batch-stats tree.
+mapping (SURVEY.md §7 hard part #3).  The released V2 TensorBundle files
+are read **directly, with no TensorFlow**, by
+:mod:`voicepuppet_tpu.tools.tf_bundle` — :func:`load_bfmnet_ckpt` /
+:func:`load_pixrefer_ckpt` point at the checkpoint prefix and overlay the
+flax tree in one step.  An npz produced by ``tf.train.load_checkpoint``
+in a TF environment remains accepted (:func:`load_bfmnet_npz`) for
+compatibility with older conversion dumps.
 
 Layout conversions handled:
   * conv kernels: TF HWIO == flax HWIO (no-op)
@@ -295,11 +290,9 @@ def export_npz(variables, rows, path: str):
     np.savez(path, **blob)
 
 
-def load_npz(path: str, variables, rows):
-    """Generic TF-named npz -> flax-tree overlay for a mapping row set.
+def load_arrays(available: Dict[str, np.ndarray], variables, rows):
+    """Generic TF-named arrays -> flax-tree overlay for a mapping row set.
     Returns (new_variables, loaded, missing)."""
-    blob = np.load(path)
-    available = {k.replace("|", "/"): blob[k] for k in blob.files}
     out = {k: _deep_mutable(v) for k, v in dict(variables).items()}
     loaded, missing = [], []
     for tf_name, coll, path_, transform in rows:
@@ -316,3 +309,43 @@ def load_npz(path: str, variables, rows):
         _set(out[coll], path_, np.asarray(val, np.float32))
         loaded.append(tf_name)
     return out, loaded, missing
+
+
+def load_npz(path: str, variables, rows):
+    """TF-named npz (``/`` escaped as ``|`` in keys) -> flax-tree overlay."""
+    blob = np.load(path)
+    available = {k.replace("|", "/"): blob[k] for k in blob.files}
+    return load_arrays(available, variables, rows)
+
+
+def load_ckpt(prefix: str, variables, rows, verify_crc: bool = False):
+    """Read a reference TF checkpoint (V2 bundle prefix or V1 single file)
+    directly — no TensorFlow, no intermediate npz — and overlay the flax
+    tree via a mapping row set.  Returns (new_variables, loaded, missing).
+    The binary readers are certified against real-TF-written fixtures
+    (tests/test_tf_bundle.py)."""
+    from voicepuppet_tpu.tools.tf_bundle import read_checkpoint
+    return load_arrays(read_checkpoint(prefix, verify_crc=verify_crc),
+                       variables, rows)
+
+
+def load_bfmnet_ckpt(prefix: str, variables, verify_crc: bool = False):
+    """``ckpt_bfmnet/bfmnet-65000``-shaped checkpoint -> flax BFMNet tree,
+    TF-free (matches the restore at infer_bfmvid.py:207-218)."""
+    return load_ckpt(prefix, variables,
+                     bfmnet_name_map() + _shortcut_rows(variables),
+                     verify_crc=verify_crc)
+
+
+def load_pixrefer_ckpt(prefix: str, g_variables, d_variables=None,
+                       verify_crc: bool = False):
+    """``ckpt_pixrefer/pixrefernet-20000``-shaped checkpoint -> flax
+    PixRefer generator (and optionally discriminator) trees, TF-free.
+    Returns ((g_vars, g_loaded, g_missing), (d_vars, d_loaded, d_missing))
+    with the second element ``None`` when ``d_variables`` is."""
+    from voicepuppet_tpu.tools.tf_bundle import read_checkpoint
+    arrays = read_checkpoint(prefix, verify_crc=verify_crc)
+    g = load_arrays(arrays, g_variables, pixrefer_generator_name_map())
+    d = (load_arrays(arrays, d_variables, pixrefer_discriminator_name_map())
+         if d_variables is not None else None)
+    return g, d

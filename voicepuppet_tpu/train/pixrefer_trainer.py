@@ -105,7 +105,22 @@ class PixReferTrainer:
 
         _, vgg_params = vgg_mod.init_vgg(jax.random.PRNGKey(17))
         if vgg_weights_path is not None:
-            vgg_params = vgg_mod.load_weights(vgg_weights_path, vgg_params)
+            if vgg_weights_path.endswith(".npz"):
+                vgg_params = vgg_mod.load_weights(vgg_weights_path,
+                                                  vgg_params)
+            else:
+                # the released slim vgg_16.ckpt itself, parsed TF-free
+                # (the reference restores it at graph build,
+                # train_pixrefer.py:80-92)
+                from voicepuppet_tpu.tools.tf_bundle import \
+                    load_vgg16_checkpoint
+                vgg_params, _, vgg_missing = load_vgg16_checkpoint(
+                    vgg_weights_path, vgg_params)
+                if vgg_missing:
+                    raise ValueError(
+                        f"vgg ckpt {vgg_weights_path}: "
+                        f"{len(vgg_missing)} trunk variables missing or "
+                        f"mis-shaped, e.g. {vgg_missing[:3]}")
         self.vgg_params = vgg_params
 
         self._train_step = self._build_step()
