@@ -56,18 +56,58 @@ class BFMModel:
 
 
 def load_bfm(model_dir: str) -> BFMModel:
-    """Load ``BFM_model_front.mat`` (ref: utils/bfm_load_data.py:9-21)."""
+    """Load ``BFM_model_front.mat`` (ref: utils/bfm_load_data.py:9-21).
+
+    Fails loudly on a missing field or an internally-inconsistent layout
+    (wrong basis row count, out-of-range triangle/adjacency indices)
+    rather than letting a misread asset produce silently-wrong renders.
+    """
     from scipy.io import loadmat
-    model = loadmat(os.path.join(model_dir, "BFM_model_front.mat"))
+    path = os.path.join(model_dir, "BFM_model_front.mat")
+    model = loadmat(path)
+    required = ("meanshape", "idBase", "exBase", "meantex", "texBase",
+                "point_buf", "tri", "keypoints")
+    missing = [k for k in required if k not in model]
+    if missing:
+        raise ValueError(f"{path}: missing fields {missing}")
+    n3 = model["meanshape"].size
+    if n3 % 3:
+        raise ValueError(f"{path}: meanshape size {n3} not divisible by 3")
+    n = n3 // 3
+    for name, cols in (("idBase", ID_DIMS), ("exBase", EX_DIMS),
+                       ("texBase", TEX_DIMS)):
+        shape = model[name].shape
+        if shape != (n3, cols):
+            raise ValueError(
+                f"{path}: {name} has shape {shape}, expected ({n3}, {cols})")
+    if model["meantex"].size != n3:
+        raise ValueError(f"{path}: meantex size {model['meantex'].size} "
+                         f"!= meanshape size {n3}")
+    tri = model["tri"]
+    if tri.ndim != 2 or tri.shape[1] != 3:
+        raise ValueError(f"{path}: tri has shape {tri.shape}")
+    if tri.min() < 1 or tri.max() > n:
+        raise ValueError(f"{path}: 1-based tri indices out of [1, {n}]")
+    pbuf = model["point_buf"]
+    if pbuf.shape[0] != n:
+        raise ValueError(f"{path}: point_buf rows {pbuf.shape[0]} != {n} "
+                         "vertices")
+    ntri = tri.shape[0]
+    if pbuf.min() < 1 or pbuf.max() > ntri + 1:  # ntri+1 = zero-normal pad
+        raise ValueError(
+            f"{path}: 1-based point_buf indices out of [1, {ntri + 1}]")
+    keypoints = np.squeeze(model["keypoints"]).astype(np.int32) - 1
+    if keypoints.min() < 0 or keypoints.max() >= n:
+        raise ValueError(f"{path}: keypoint indices out of range")
     return BFMModel(
         meanshape=model["meanshape"].astype(np.float32),
         idBase=model["idBase"].astype(np.float32),
         exBase=model["exBase"].astype(np.float32),
         meantex=model["meantex"].astype(np.float32),
         texBase=model["texBase"].astype(np.float32),
-        point_buf=model["point_buf"],
-        tri=model["tri"],
-        keypoints=np.squeeze(model["keypoints"]).astype(np.int32) - 1,
+        point_buf=pbuf,
+        tri=tri,
+        keypoints=keypoints,
     )
 
 

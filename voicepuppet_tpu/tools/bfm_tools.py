@@ -24,17 +24,37 @@ import numpy as np
 
 
 def load_exp_basis(model_dir: str):
-    """Read Exp_Pca.bin: (expPC [3*53215, K], expEV [K])."""
-    n_vertex = 53215
-    with open(os.path.join(model_dir, "Exp_Pca.bin"), "rb") as f:
+    """Read Exp_Pca.bin: (expPC [3*n_vertex, K], expEV [K]).
+
+    Layout (utils/bfm_load_data.py:25-41): one little-endian int32 K, then
+    3*n_vertex float32 mean values, then K*3*n_vertex float32 principal
+    components stored [K, 3*n_vertex] row-major.  The reference hardcodes
+    n_vertex=53215; here it is derived from the file size (which equals
+    4*(1 + 3*n_vertex*(K+1))) and must divide exactly — a truncated or
+    differently-laid-out file fails loudly instead of misparsing."""
+    path = os.path.join(model_dir, "Exp_Pca.bin")
+    file_words = os.path.getsize(path) // 4
+    with open(path, "rb") as f:
         dim = array("i")
         dim.fromfile(f, 1)
+        k = dim[0]
+        if k <= 0 or (file_words - 1) % (3 * (k + 1)) != 0:
+            raise ValueError(
+                f"{path}: {file_words * 4} bytes inconsistent with "
+                f"exp_dim={k} (expect 4*(1 + 3*n_vertex*(K+1)))")
+        n_vertex = (file_words - 1) // (3 * (k + 1))
         mu = array("f")
         mu.fromfile(f, 3 * n_vertex)
         pc = array("f")
-        pc.fromfile(f, 3 * dim[0] * n_vertex)
-    exp_pc = np.asarray(pc).reshape(dim[0], -1).T
+        pc.fromfile(f, 3 * k * n_vertex)
+    exp_pc = np.asarray(pc).reshape(k, -1).T
     exp_ev = np.loadtxt(os.path.join(model_dir, "std_exp.txt"))
+    if np.ndim(exp_ev) == 0:
+        exp_ev = exp_ev.reshape(1)
+    if exp_ev.shape[0] != k:
+        raise ValueError(
+            f"std_exp.txt has {exp_ev.shape[0]} eigenvalues, "
+            f"Exp_Pca.bin has {k} components")
     return exp_pc, exp_ev
 
 
@@ -56,6 +76,17 @@ def convert_bfm09(model_dir: str, out_name: str = "BFM_model_front.mat"):
         "idx"].astype(np.int64) - 1
     idx_shape = loadmat(os.path.join(model_dir, "BFM_exp_idx.mat"))[
         "trimIndex"].astype(np.int64) - 1
+    n_exp = ex_base.shape[0] // 3
+    n_shape = id_base.shape[0] // 3
+    if idx_exp.min() < 0 or idx_exp.max() >= n_exp:
+        raise ValueError(
+            f"BFM_front_idx.mat: 1-based idx out of [1, {n_exp}] "
+            "(expression-basis vertex count)")
+    if idx_shape.min() < 0 or idx_shape.max() >= n_shape \
+            or idx_shape.shape[0] != n_exp:
+        raise ValueError(
+            f"BFM_exp_idx.mat: trimIndex must be [{n_exp}, 1] 1-based "
+            f"into [1, {n_shape}] (BFM09 vertex count)")
     idx_shape = idx_shape[idx_exp]
 
     def crop(base, idx, k):
