@@ -5,10 +5,13 @@ The round-3 kernel study (docs/PERF.md) measured a structural
 store->load RMW chain.  The grouped kernel (ops/raster_pallas.py:
 _raster_kernel_grouped) merges G consecutive triangles in registers with
 the order-free (max-depth, min-id) rule and does ONE window RMW per
-group — chain links per frame drop G-fold.  On the production mesh the
-group row spread fits a 16-row window up to G=8 and a 32-row window up
-to G=16 (measured by _grouped_table's fits flag), so the merge costs no
-extra window rows at G<=8.
+group — chain links per frame drop G-fold.  MEASURED OUTCOME (round 3,
+recorded in docs/PERF.md "measured, REJECTED"): on the production mesh
+every fits preflight below printed True (all groups up to G=32 fit
+their windows), yet every grouped variant timed SLOWER than the
+per-triangle kernel — the G-fold shorter RMW chain never paid for the
+extra per-group vector work.  Production stays per-triangle
+(raster_group=0); this script is the record of that completed A/B.
 
 Amortized in-jit K-repeat timing (CLAUDE.md: single-call timings under
 ~100 ms are tunnel latency), interleaved A/B in one process, per-variant
@@ -93,18 +96,22 @@ progs = timing.build_progs({n: (f, verts) for n, f in cases.items()}, K)
 
 # exact parity vs the production kernel (both flat-depth winner rasters).
 # Reduce to TWO scalars on device — fetching the full [B,H,W] buffers is
-# ~51 MB of d2h, minutes of tunnel time in bad weather
+# ~51 MB of d2h, minutes of tunnel time in bad weather.  The reference
+# (wa, da) is computed ONCE and kept device-resident; each loop
+# iteration compiles only its grouped variant (the 1-core host pays
+# dearly for redundant recompiles of the production kernel).
+_ref_wd = jax.jit(lambda v: rasterize_winner_pallas(v, tri, fb=8))(verts)
+
 for name, f in cases.items():
     if name == "pertri_w16" or name not in progs:
         continue
 
     @jax.jit
-    def _parity(v, f=f):
-        wa, da = rasterize_winner_pallas(v, tri, fb=8)
+    def _parity(v, wa, da, f=f):
         wg, dg = f(v)
         return (wa == wg).all(), (da == dg).all()
 
-    ok_w, ok_d = _parity(verts)
+    ok_w, ok_d = _parity(verts, *_ref_wd)
     print(f"parity {name}: winner {bool(ok_w)} depth {bool(ok_d)}",
           flush=True)
 

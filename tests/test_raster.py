@@ -363,3 +363,70 @@ def test_pallas_nonpow2_fb_unroll_tail(mesh):
     for i in range(6):
         np.testing.assert_array_equal(np.asarray(got_mask[i]), want_mask)
         np.testing.assert_array_equal(np.asarray(got_img[i]), want_img)
+
+
+def test_pallas_tall_triangle_guard_renders_exactly(mesh):
+    """A triangle taller than win-7 rows used to be silently cropped by
+    the aligned window (round-3 VERDICT weak #2).  The production path's
+    device-side fits preflight must now fall back to a full-canvas window
+    and match the sequential spec exactly; guard=False reproduces the old
+    cropped (wrong) output, proving the test actually trips the guard."""
+    from voicepuppet_tpu.ops.raster_pallas import render_colors_pallas
+    verts, tris, colors = mesh
+    verts = verts.copy()
+    # stretch one triangle to span most of the canvas vertically
+    t0 = tris[0]
+    # fractional .3 offsets keep every edge off the float-boundary
+    # pixels where the vectorized inside-test and the sequential ref can
+    # legitimately disagree by one borderline pixel
+    verts[t0[0], :2] = [W * 0.5, 2.3]
+    verts[t0[1], :2] = [W * 0.25, H - 3.3]
+    verts[t0[2], :2] = [W * 0.75, H - 5.3]
+    verts[t0, 2] = 50.0  # in front: the tall triangle must win its pixels
+    want_img, want_mask = raster_ref.render_colors_ref(verts, tris, colors,
+                                                       H, W)
+    got_img, got_mask = render_colors_pallas(verts[None], colors[None],
+                                             tris, h=H, w=W, win=16,
+                                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_mask[0]), want_mask)
+    np.testing.assert_array_equal(np.asarray(got_img[0]), want_img)
+
+    cropped_img, _ = render_colors_pallas(verts[None], colors[None], tris,
+                                          h=H, w=W, win=16, guard=False,
+                                          interpret=True)
+    assert (np.asarray(cropped_img[0]) != want_img).any(), \
+        "guard=False should crop (otherwise this test guards nothing)"
+
+
+def test_pallas_interp_tall_triangle_guard(mesh):
+    """Same preflight on the interp-depth kernel path."""
+    from voicepuppet_tpu.ops.raster_pallas import \
+        rasterize_winner_interp_pallas
+    verts, tris, _ = mesh
+    verts = verts.copy()
+    t0 = tris[0]
+    # fractional .3 offsets keep every edge off the float-boundary
+    # pixels where the vectorized inside-test and the sequential ref can
+    # legitimately disagree by one borderline pixel
+    verts[t0[0], :2] = [W * 0.5, 2.3]
+    verts[t0[1], :2] = [W * 0.25, H - 3.3]
+    verts[t0[2], :2] = [W * 0.75, H - 5.3]
+    verts[t0, 2] = 50.0
+    want_d, want_t, _ = raster_ref.rasterize_triangles_ref(verts, tris,
+                                                           H, W)
+    winner, depth = rasterize_winner_interp_pallas(verts[None], tris,
+                                                   h=H, w=W, win=16,
+                                                   interpret=True)
+    got_t = np.asarray(winner[0])
+    got_t = np.where(got_t == tris.shape[0], -1, got_t)
+    cov = want_t >= 0
+    disagree = (got_t != want_t) & cov
+    assert disagree.mean() < 0.01  # depth ties only, as elsewhere
+    sel = (got_t == want_t) & cov
+    # the tall triangle's pixels must be present (guard active, not crop)
+    assert ((got_t == 0) & cov).sum() > 500
+    # barycentric depth interpolation over a ~90-px-tall triangle carries
+    # O(1e-3) float32 rounding vs the float64 ref; small-mesh parity at
+    # 1e-4 is pinned by test_pallas_rasterize_triangles_matches_spec
+    np.testing.assert_allclose(np.asarray(depth[0])[sel], want_d[sel],
+                               atol=2e-3)

@@ -12,6 +12,9 @@ def render_colors_auto(vertices, colors, triangles, h: int = 224,
 
     ``bb`` = expected max triangle bbox span in pixels (scale it with the
     canvas); the Mosaic kernel's aligned row window is derived from it.
+    An under-estimated ``bb`` is caught by the kernel's device-side
+    preflight, which falls back to a full-canvas window — correct output,
+    reduced throughput (raster_pallas.rasterize_winner_pallas guard).
 
     ``group`` > 0 selects the grouped-RMW kernel (one depth-window RMW
     per ``group`` consecutive triangles; exact via order-free merge +

@@ -32,9 +32,13 @@ Layout strategy:
     including the degenerate-triangle quirk (inv_deno = 0 -> whole bbox
     passes).
 
-Triangles taller than win-7 px are cropped by the aligned window (knob;
-BFM triangles at 224² are 1-7 px tall).  The winner buffer
-holds triangle ids; color lookup happens outside as a vectorized gather.
+Triangles taller than win-7 px do not fit the aligned window; the
+production entry points run a device-side ``fits`` preflight and fall
+back to a full-canvas window via ``lax.cond`` (guard=True default), so a
+novel mesh/scale renders correctly — slower — instead of silently
+cropped (BFM triangles at 224² are 1-7 px tall, so the guard never fires
+on the product path; measured cost ~0).  The winner buffer holds
+triangle ids; color lookup happens outside as a vectorized gather.
 """
 
 from __future__ import annotations
@@ -210,18 +214,35 @@ def _winner_pallas_call(kernel, table: jax.Array, *, b: int, h: int,
     )(table)
 
 
+def _window_fits(table: jax.Array, win: int) -> jax.Array:
+    """Device-side preflight: True iff every triangle's bbox rows land in
+    its win-row aligned window (y_max <= y0w + win - 1).  Padded triangles
+    have y_max = y0w = 0 and always pass (their empty x-bbox never draws).
+    """
+    return jnp.all(table[..., 14] <= table[..., 15] + (win - 1.0))
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("h", "w", "win", "fb", "interpret"))
+                   static_argnames=("h", "w", "win", "fb", "guard",
+                                    "interpret"))
 def rasterize_winner_pallas(vertices: jax.Array, triangles: jax.Array,
                             h: int = 224, w: int = 224, win: int = WIN,
-                            fb: Optional[int] = None,
+                            fb: Optional[int] = None, guard: bool = True,
                             interpret: bool = False):
     """[B,V,3] + [F,3] -> (winner [B,h,w] int32 in [0,F], depth [B,h,w]).
 
-    ``winner == F`` marks uncovered pixels.  ``win`` (multiple of 8) must
-    be >= max triangle bbox height + 7; scale it with the canvas.
+    ``winner == F`` marks uncovered pixels.  ``win`` (multiple of 8)
+    should be >= max triangle bbox height + 7; scale it with the canvas.
     ``fb``: frame-interleave factor (must divide B; default: largest of
-    8,4,2,1 that divides B)."""
+    8,4,2,1 that divides B).
+
+    ``guard`` (default on): a device-side fits preflight detects any
+    triangle taller than its aligned window and reruns the kernel with a
+    full-canvas window via ``lax.cond`` — a novel mesh/scale combination
+    renders CORRECTLY (slower) instead of silently cropped (the C++
+    bbox loop never crops, mesh_core.cpp:169-231).  The guarded path
+    needs ``h % 8 == 0`` (224/512/672 all qualify); otherwise the
+    preflight is skipped as before."""
     assert win % 8 == 0 and win >= 8
     b = vertices.shape[0]
     f = triangles.shape[0]
@@ -237,9 +258,21 @@ def rasterize_winner_pallas(vertices: jax.Array, triangles: jax.Array,
     kernel = functools.partial(_raster_kernel, h=h, w=w, num_tri=f,
                                win=win, fb=fb, chunk=chunk,
                                unroll=_unroll_for(chunk))
-    depth, winner = _winner_pallas_call(kernel, table, b=b, h=h, w=w,
-                                        fb=fb, nc=nc, slots=16,
-                                        interpret=interpret)
+    run = functools.partial(_winner_pallas_call, b=b, h=h, w=w, fb=fb,
+                            nc=nc, slots=16, interpret=interpret)
+    if guard and win < h and h % 8 == 0:
+        full_kernel = functools.partial(_raster_kernel, h=h, w=w,
+                                        num_tri=f, win=h, fb=fb,
+                                        chunk=chunk,
+                                        unroll=_unroll_for(chunk))
+        depth, winner = jax.lax.cond(
+            _window_fits(table, win),
+            lambda tab: run(kernel, tab),
+            # win = h makes every aligned window origin 0 (full canvas)
+            lambda tab: run(full_kernel, tab.at[..., 15].set(0.0)),
+            table)
+    else:
+        depth, winner = run(kernel, table)
     # mask winners that never drew (padded triangles can't draw: empty bbox)
     return winner, depth
 
@@ -616,12 +649,12 @@ def _append_z(table: jax.Array, verts: jax.Array, triangles: jax.Array
 
 @functools.partial(jax.jit,
                    static_argnames=("h", "w", "win", "fb", "group",
-                                    "interpret"))
+                                    "guard", "interpret"))
 def rasterize_winner_interp_pallas(vertices: jax.Array,
                                    triangles: jax.Array, h: int = 224,
                                    w: int = 224, win: int = WIN,
                                    fb: Optional[int] = None,
-                                   group: int = 0,
+                                   group: int = 0, guard: bool = True,
                                    interpret: bool = False):
     """Winner/depth buffers under the interpolated-depth + border-override
     semantics (mesh_core.cpp:108-166).
@@ -629,7 +662,12 @@ def rasterize_winner_interp_pallas(vertices: jax.Array,
     ``group`` > 0 uses the grouped-RMW kernel (one window RMW per
     ``group`` consecutive triangles, exact order-free merge) with an XLA
     fits-check falling back to the per-triangle kernel — see
-    :func:`rasterize_winner_grouped_pallas`."""
+    :func:`rasterize_winner_grouped_pallas`.
+
+    ``guard`` adds the too-tall-triangle preflight + full-canvas-window
+    fallback of :func:`rasterize_winner_pallas` on the per-triangle path
+    (``group <= 0`` only; the grouped knob keeps its own group-locality
+    fallback)."""
     assert win % 8 == 0 and win >= 8
     b = vertices.shape[0]
     f = triangles.shape[0]
@@ -648,9 +686,19 @@ def rasterize_winner_interp_pallas(vertices: jax.Array,
                                win=win, fb=fb, chunk=chunk,
                                unroll=_unroll_for(chunk))
     if group <= 0:
-        depth, winner = _winner_pallas_call(kernel, table, b=b, h=h, w=w,
-                                            fb=fb, nc=nc, slots=20,
-                                            interpret=interpret)
+        run = functools.partial(_winner_pallas_call, b=b, h=h, w=w, fb=fb,
+                                nc=nc, slots=20, interpret=interpret)
+        if guard and win < h and h % 8 == 0:
+            full_kernel = functools.partial(
+                _raster_kernel_interp, h=h, w=w, num_tri=f, win=h, fb=fb,
+                chunk=chunk, unroll=_unroll_for(chunk))
+            depth, winner = jax.lax.cond(
+                _window_fits(table, win),
+                lambda tab: run(kernel, tab),
+                lambda tab: run(full_kernel, tab.at[..., 15].set(0.0)),
+                table)
+        else:
+            depth, winner = run(kernel, table)
         return winner, depth
 
     assert h >= win and chunk % group == 0, (chunk, group)
@@ -713,17 +761,19 @@ def render_texture_pallas(vertices: jax.Array, triangles: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("h", "w", "win", "fb", "interpret"))
+                   static_argnames=("h", "w", "win", "fb", "guard",
+                                    "interpret"))
 def render_colors_pallas(vertices: jax.Array, colors: jax.Array,
                          triangles: jax.Array, h: int = 224, w: int = 224,
                          win: int = WIN, fb: Optional[int] = None,
-                         interpret: bool = False
+                         guard: bool = True, interpret: bool = False
                          ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in fast path for face3d.raster.render_colors (flat-shaded
     z-buffer, exact C++ ordering semantics).  vertices [B,V,3],
-    colors [B,V,C] (0-255 integral), triangles [F,3] int32."""
+    colors [B,V,C] (0-255 integral), triangles [F,3] int32.  ``guard``:
+    see :func:`rasterize_winner_pallas`."""
     winner, _ = rasterize_winner_pallas(vertices, triangles, h, w,
-                                        win=win, fb=fb,
+                                        win=win, fb=fb, guard=guard,
                                         interpret=interpret)
     return _flat_color_image(winner, colors, triangles, h, w)
 
