@@ -282,3 +282,54 @@ def test_fit_steps_per_call_logs_every_step(cfg, face_model):
     assert int(state.step) == 5
     assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
     assert all(np.isfinite(list(r[1].values())).all() for r in rows)
+
+
+def test_shard_batch_local_matches_global(cfg, face_model):
+    """Multi-host feeding path (VERDICT r3 next #6): in a single process,
+    feeding the trainer per-process local rows through
+    ``shard_batch_local`` must equal the global ``shard_batch`` path
+    bit-for-bit, and the global array must be assembled ONLY from
+    addressable shards (each device's shard is exactly its slice of the
+    local rows — no resharding collective behind the scenes)."""
+    from voicepuppet_tpu.parallel.mesh import (local_batch_rows,
+                                               shard_batch,
+                                               shard_batch_local)
+    mesh = make_mesh()
+    assert local_batch_rows(8, mesh) == 8  # one process owns all rows
+    with pytest.raises(ValueError):
+        local_batch_rows(6, mesh)  # not divisible by the 8-device axis
+
+    rng = np.random.RandomState(7)
+    t = 4
+    batch = (rng.randn(8, t, 257).astype(np.float32),
+             rng.rand(8, t, 1).astype(np.float32),
+             rng.randn(8, t * 5, 80).astype(np.float32),
+             np.full((8,), t, np.int32))
+
+    glob = shard_batch(batch, mesh)
+    loc = shard_batch_local(batch, mesh)
+    for g, l, host in zip(jax.tree_util.tree_leaves(glob),
+                          jax.tree_util.tree_leaves(loc),
+                          jax.tree_util.tree_leaves(batch)):
+        assert l.shape == g.shape and l.sharding == g.sharding
+        # addressable-shard-only construction: every device shard is the
+        # corresponding contiguous row block of the process-local data
+        for shard in l.addressable_shards:
+            sl = shard.index[0]
+            np.testing.assert_array_equal(np.asarray(shard.data),
+                                          host[sl])
+        np.testing.assert_array_equal(np.asarray(l), np.asarray(g))
+
+    # the trainer step is bit-identical through either feeding path
+    trainer = BFMNetTrainer(cfg, face_model)
+    key = jax.random.PRNGKey(3)
+    s_a, m_a = trainer.train_step(trainer.init_state(example_t=t), batch,
+                                  key)
+    s_b, m_b = trainer.train_step_local(trainer.init_state(example_t=t),
+                                        batch, key)
+    np.testing.assert_array_equal(np.asarray(m_a["loss"]),
+                                  np.asarray(m_b["loss"]))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        s_a.params, s_b.params)

@@ -212,6 +212,49 @@ def shard_batch_stacked(batches: Sequence[Any], mesh: Mesh,
         lambda x: jax.device_put(x, sharding), stacked)
 
 
+def local_batch_rows(global_batch: int, mesh: Mesh,
+                     axis: str = "data") -> int:
+    """Rows of the global batch THIS process must produce for
+    :func:`shard_batch_local`.
+
+    On a multi-host pod each process addresses only its local chips, so a
+    batch sharded over ``axis`` is fed per-process: the data pipeline on
+    each host yields ``global_batch / process_count`` samples.  Requires
+    the per-process row count to itself divide over the process's local
+    share of the axis (true for the standard contiguous device order that
+    :func:`make_mesh` uses)."""
+    procs = jax.process_count()
+    if global_batch % mesh.shape[axis] != 0 or global_batch % procs != 0:
+        raise ValueError(
+            f"global batch {global_batch} must divide both the "
+            f"{mesh.shape[axis]}-device '{axis}' axis and "
+            f"{procs} processes")
+    return global_batch // procs
+
+
+def shard_batch_local(local_batch: Any, mesh: Mesh, axis: str = "data"
+                      ) -> Any:
+    """Multi-host feeding path: build a GLOBAL batch array from only this
+    process's local rows (``jax.make_array_from_process_local_data``).
+
+    :func:`shard_batch` device-puts a *global* host batch — fine in one
+    process, impossible on a real multi-host v5e pod where each host
+    holds only its shard of the input pipeline.  Here every process
+    passes its :func:`local_batch_rows` rows; JAX assembles the logical
+    [global_batch, ...] array from the per-process pieces without any
+    cross-host data movement (each piece lands on that process's
+    addressable devices only; DCN never sees batch data).
+
+    In a single process this is exactly :func:`shard_batch` (pinned by
+    tests/test_train.py::test_shard_batch_local_matches_global).  The
+    result feeds :func:`data_parallel_step` unchanged — shard_map only
+    sees the global sharding, not how it was built."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), local_batch)
+
+
 def pmean_metric(x: Any, data_axis: str = "data") -> Any:
     """Average a per-shard metric over the data axis (for values NOT
     already reduced through the loss-pmean autodiff path)."""

@@ -28,6 +28,7 @@ from voicepuppet_tpu.models.layers import l2_regularization
 from voicepuppet_tpu.parallel.mesh import (data_parallel_multi_step,
                                            data_parallel_step, make_mesh,
                                            mesh_global_batch, shard_batch,
+                                           shard_batch_local,
                                            shard_batch_stacked)
 from voicepuppet_tpu.train.optim import bfmnet_optimizer
 from voicepuppet_tpu.train.state import TrainState
@@ -100,6 +101,15 @@ class BFMNetTrainer:
 
     def train_step(self, state: TrainState, host_batch, rng):
         batch = shard_batch(host_batch, self.mesh)
+        return self._train_step(state, batch, rng)
+
+    def train_step_local(self, state: TrainState, local_host_batch, rng):
+        """Multi-host feeding: ``local_host_batch`` holds only THIS
+        process's ``local_batch_rows(global_batch, mesh)`` samples; the
+        global array is assembled from per-process pieces with no
+        cross-host batch movement (parallel.mesh.shard_batch_local).
+        Single-process it is exactly :meth:`train_step`."""
+        batch = shard_batch_local(local_host_batch, self.mesh)
         return self._train_step(state, batch, rng)
 
     def train_multi_step(self, state: TrainState, host_batches, rng):
