@@ -104,6 +104,7 @@ def test_vgnet_discriminator_decision(cfg):
     assert lmk.shape == (B, T, 136)
 
 
+@pytest.mark.slow
 def test_atnet_train_step(cfg, component):
     from voicepuppet_tpu.train.atnet_trainer import ATNetTrainer
     trainer = ATNetTrainer(cfg, component, width_mult=0.25)
@@ -125,6 +126,7 @@ def test_atnet_train_step(cfg, component):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_vgnet_alternating_train_learns(cfg):
     """16-step overfit of a fixed batch with D/G alternation: direct
     evidence the GAN *learns* (round-2 VERDICT: a finiteness-only smoke

@@ -75,6 +75,7 @@ def test_pos_similarity_recovers_transform():
     np.testing.assert_allclose(t, t_true, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_full_synthesis_contract(cfg, demo, tmp_path):
     synth, identity = demo
     rng = np.random.RandomState(0)
@@ -95,6 +96,7 @@ def test_full_synthesis_contract(cfg, demo, tmp_path):
     assert frames.std(axis=0).max() > 0
 
 
+@pytest.mark.slow
 def test_frame_chunking_pads_tail(cfg, demo):
     synth, identity = demo
     coeff = np.asarray(
@@ -163,6 +165,7 @@ def test_yuv420_transfer_roundtrip():
     assert np.abs(y_got - y_orig).max() <= 1.0
 
 
+@pytest.mark.slow
 def test_sharded_synthesizer_multichip(cfg, demo):
     """Frame chunks shard across the 8-device mesh (inference sequence
     parallelism) and produce the same frames as single-device."""
@@ -199,6 +202,7 @@ def test_sharded_synthesizer_multichip(cfg, demo):
     assert (diff > 0).mean() < 0.05
 
 
+@pytest.mark.slow
 def test_from_checkpoints_roundtrip(cfg, tmp_path):
     """Save both trainers' states and rebuild a Synthesizer from the
     checkpoint directories (the two-checkpoint compose of
@@ -240,6 +244,7 @@ def test_sat_alignment_degenerate_landmarks():
     assert np.isfinite(ratio) and ratio > 0
 
 
+@pytest.mark.slow
 def test_identity_bgr_flag_flips_rendered_colors(cfg, demo):
     import dataclasses as dc
     synth, identity = demo
@@ -255,6 +260,7 @@ def test_identity_bgr_flag_flips_rendered_colors(cfg, demo):
     assert not np.array_equal(f_rgb, f_bgr)
 
 
+@pytest.mark.slow
 def test_golden_frame_regression():
     """Visual end-to-end regression: fixed-seed demo synthesis on CPU must
     reproduce the committed golden frame (tests/fixtures/golden_frame.png,
@@ -284,6 +290,7 @@ def test_golden_frame_regression():
     assert got.std() > 10.0
 
 
+@pytest.mark.slow
 def test_spatial_partitioned_synthesizer(cfg, demo):
     """mesh_partition='spatial' shards the GAN's height dim over the
     8-device mesh (GSPMD conv halo exchanges) and matches the
@@ -313,6 +320,7 @@ def test_spatial_partitioned_synthesizer(cfg, demo):
     assert (diff > 0).mean() < 0.05
 
 
+@pytest.mark.slow
 def test_estimate_chunk_compute(demo):
     """The bench's weather-independent compute probe: K frame-program
     repeats inside one jit with a carried dependence (docs/PERF.md

@@ -75,6 +75,7 @@ def test_pixflow_losses_reference_form():
         d, -(np.log(0.8 + 1e-12) + np.log(0.7 + 1e-12)), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pixflow_gan_train_step(cfg, batch):
     trainer = PixFlowTrainer(cfg, image_size=S)
     state = trainer.init_state()
@@ -111,6 +112,7 @@ def test_pixflow_data_stream(cfg):
     assert masks.shape == (64, 64, 3)
 
 
+@pytest.mark.slow
 def test_pixflow_bf16_mixed_precision_step_learns(cfg, batch):
     """Mixed-precision (train_dtype=bfloat16) PixFlow step: conv
     activations bf16, master params / losses float32.  Asserts the bf16

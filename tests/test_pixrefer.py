@@ -142,6 +142,7 @@ def test_vgg_perceptual_split_matches_concat_and_detaches_real():
     assert float(jnp.abs(g_fake).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_gan_train_step_dp(cfg, batch):
     trainer = PixReferTrainer(cfg, image_size=S)
     state = trainer.init_state()
@@ -168,6 +169,7 @@ def test_infer_deprocessed_range(cfg, batch):
     assert o.min() >= -0.51 and o.max() <= 1.51  # deprocess of [-2,1]-ish
 
 
+@pytest.mark.slow
 def test_pixrefer_overfit_learns(cfg):
     """~60-step overfit of a fixed batch at the reference optimizer
     settings: direct evidence the GAN *learns* — catches a sign-flipped
@@ -252,6 +254,7 @@ def test_pixrefer_overfit_learns(cfg):
     assert d_real > d_fake + 0.05, (d_real, d_fake)
 
 
+@pytest.mark.slow
 def test_pixrefer_bf16_mixed_precision_step_learns(cfg):
     """Mixed-precision training (train_dtype=bfloat16): conv activations
     run bf16 while master params / Adam state / losses stay float32.
@@ -300,6 +303,7 @@ def test_pixrefer_bf16_mixed_precision_step_learns(cfg):
         assert leaf.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_pixrefer_bf16_perceptual_only_step_learns(cfg):
     """perceptual_dtype=bfloat16 with an f32 step: only the frozen VGG
     perceptual trunk runs bf16 (it has no batch-norm, so none of the cast
@@ -352,6 +356,7 @@ def test_pixrefer_bf16_perceptual_only_step_learns(cfg):
         assert leaf.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_pixrefer_multi_step_matches_sequential(cfg):
     """K D-then-G steps packed into one dispatch (train_multi_step's
     device-side lax.scan) must equal K sequential train_step calls —

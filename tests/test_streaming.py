@@ -10,6 +10,8 @@ import pytest
 
 from voicepuppet_tpu.config import Config
 
+pytestmark = pytest.mark.slow
+
 S = 256
 
 

@@ -97,6 +97,7 @@ def test_audio2exp_stream():
     assert windows.shape == (25, 8, 29)
 
 
+@pytest.mark.slow
 def test_eval_grid_renders(tmp_path):
     from voicepuppet_tpu.face3d import bfm as bfm_mod
     from voicepuppet_tpu.utils.viz import plot_bfm_coeff_seq
@@ -120,6 +121,7 @@ def test_landmark_stroke_drawing():
     assert (out != 255).any()
 
 
+@pytest.mark.slow
 def test_infer_bfmnet_yaw_sweep_frames():
     from voicepuppet_tpu.face3d import bfm as bfm_mod
     from voicepuppet_tpu.pipeline.infer_drivers import (
@@ -148,6 +150,7 @@ def test_prepare_schedule_step1(tmp_path):
     assert ears.shape == (10,)
 
 
+@pytest.mark.slow
 def test_prepare_panels_rescales_landmarks_and_renders_at_size(tmp_path):
     """Panel step: the fallback alpha hull must track the landmarks after
     the image is resized from its original resolution to img_size, and the
@@ -196,6 +199,7 @@ def test_prepare_schedule_steps_3_4_need_providers(tmp_path):
         sched.run(4, str(tmp_path), str(tmp_path))
 
 
+@pytest.mark.slow
 def test_torch_prep_models_forward():
     import torch
     from voicepuppet_tpu.tools.models_torch import (DIMMatting,
@@ -229,6 +233,7 @@ def test_thinresnet_backbone_shapes():
     assert y.ndim == 3 and y.shape[0] == 1 and y.shape[-1] == 64
 
 
+@pytest.mark.slow
 def test_infer_atvgnet_end_to_end():
     import dataclasses
     from voicepuppet_tpu.config import Config
@@ -304,6 +309,7 @@ def test_tf_checkpoint_mapping_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_unet_resnet_forward():
     import torch
     from voicepuppet_tpu.tools.models_torch import UnetResNet

@@ -45,6 +45,7 @@ def test_mesh_uses_all_devices():
     assert mesh.shape["model"] == 1
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns(cfg, face_model):
     trainer = BFMNetTrainer(cfg, face_model)
     state = trainer.init_state(example_t=8)
@@ -74,6 +75,7 @@ def test_train_step_runs_and_learns(cfg, face_model):
     assert losses[11] < losses[0] * 0.9, losses[:12]
 
 
+@pytest.mark.slow
 def test_dp_step_matches_single_device(cfg, face_model):
     """Gradient pmean over 8 shards == full-batch gradients on one device.
 
@@ -186,6 +188,7 @@ def test_gan_schedule_matches_reference_global_step():
             assert got == pytest.approx(want, rel=1e-4), (n, got, want)
 
 
+@pytest.mark.slow
 def test_multi_step_matches_sequential(cfg, face_model):
     """K optimizer steps packed into one dispatch (train_multi_step's
     device-side lax.scan) must produce the same state and per-step
@@ -255,6 +258,7 @@ def test_multi_step_matches_sequential(cfg, face_model):
     assert float(da @ db / (na * nb)) > 0.95
 
 
+@pytest.mark.slow
 def test_fit_steps_per_call_logs_every_step(cfg, face_model):
     """fit(steps_per_call=2) must still log one metrics row per optimizer
     step (the [K]-stacked metrics are unstacked on host) and handle a
@@ -284,6 +288,7 @@ def test_fit_steps_per_call_logs_every_step(cfg, face_model):
     assert all(np.isfinite(list(r[1].values())).all() for r in rows)
 
 
+@pytest.mark.slow
 def test_shard_batch_local_matches_global(cfg, face_model):
     """Multi-host feeding path (VERDICT r3 next #6): in a single process,
     feeding the trainer per-process local rows through

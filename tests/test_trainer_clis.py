@@ -11,6 +11,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow
+
 PR_S = 256      # pixrefer panel size (its 8-level U-Net needs >= 256)
 PF_S = 64       # pixflow panel size (no U-Net skips; 64 suffices)
 VG_S = 32       # vgnet image size
