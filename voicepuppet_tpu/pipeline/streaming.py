@@ -16,7 +16,11 @@ Exactness model:
     approximation error vs the whole-clip run decays geometrically in
     the context sizes (pinned by tests/test_streaming.py).
   * Latency = ``ctx_right`` frames (default 12 ≈ 0.48 s at 25 fps) plus
-    one chunk.
+    one chunk.  Measured presets (experiments/streaming_quality.py,
+    docs/PERF.md "Reduced-context serving"): the trunk's effective right
+    context is ≤3 frames, so ``chunk=4, ctx_right=3`` cuts algorithmic
+    first-frame latency 4x with interior frames at f32-noise parity;
+    only fully causal (``ctx_right=0``) pays a real steady-state cost.
 
 One jitted program per stream (static window shapes), reusing the batch
 Synthesizer's frame program for rendering.
