@@ -58,12 +58,16 @@ def load_exp_basis(model_dir: str):
     return exp_pc, exp_ev
 
 
-def convert_bfm09(model_dir: str, out_name: str = "BFM_model_front.mat"):
+def convert_bfm09(model_dir: str, out_name: str = "BFM_model_front.mat",
+                  out_dir: str = None):
     """BFM09 + JuYong expression basis -> the front-cropped working model.
 
     Requires the external research assets (01_MorphableModel.mat,
     Exp_Pca.bin, BFM_front_idx.mat, BFM_exp_idx.mat, facemodel_info.mat) in
-    ``model_dir`` — same contract as the reference converter."""
+    ``model_dir`` — same contract as the reference converter.  The result
+    is written to ``out_dir`` (default ``model_dir``, which may be
+    read-only when converting a release in place — see
+    tools/convert_assets.py)."""
     from scipy.io import loadmat, savemat
 
     raw = loadmat(os.path.join(model_dir, "01_MorphableModel.mat"))
@@ -107,7 +111,7 @@ def convert_bfm09(model_dir: str, out_name: str = "BFM_model_front.mat"):
            "keypoints": info["keypoints"],
            "frontmask2_idx": info["frontmask2_idx"],
            "skinmask": info["skinmask"]}
-    savemat(os.path.join(model_dir, out_name), out)
+    savemat(os.path.join(out_dir or model_dir, out_name), out)
     return out
 
 
