@@ -73,6 +73,18 @@ def test_broken_asset_fails_loudly_in_manifest(tmp_path):
     assert "error" in manifest["rnet_pb"]
 
 
+def test_resolve_lm3d_prefers_converted_npy(tmp_path):
+    from voicepuppet_tpu.tools.bfm_tools import resolve_lm3d
+
+    lm = np.arange(15, dtype=np.float64).reshape(5, 3)
+    np.save(tmp_path / "lm3d.npy", lm)
+    np.testing.assert_array_equal(resolve_lm3d(str(tmp_path)), lm)
+
+    np.save(tmp_path / "lm3d.npy", np.zeros((4, 2)))
+    with pytest.raises(ValueError, match="expected"):
+        resolve_lm3d(str(tmp_path))
+
+
 def _tiny_cfg():
     import dataclasses
     from voicepuppet_tpu.config import Config
@@ -230,3 +242,14 @@ def test_convert_all_end_to_end(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(rback["params"]["conv1"]["conv"]["kernel"]),
         np.asarray(rnet_vars["params"]["conv1"]["conv"]["kernel"]))
+
+    # the synthesize entry point composes the converted npz pair directly
+    from voicepuppet_tpu.pipeline.synthesize import SynthesisAssets
+    sbfm, sg = SynthesisAssets.load_npz_weights(
+        cfg, str(out / ca.BFMNET_NPZ), str(out / ca.PIXREFER_G_NPZ))
+    np.testing.assert_array_equal(
+        np.asarray(tfc._get(sbfm["params"], probe)),
+        np.asarray(tfc._get(bfm_vars["params"], probe)))
+    np.testing.assert_array_equal(
+        np.asarray(tfc._get(sg, gprobe)),
+        np.asarray(tfc._get(gv["params"], gprobe)))

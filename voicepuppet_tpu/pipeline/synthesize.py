@@ -620,6 +620,60 @@ class SynthesisAssets:
     (random-weight) models — the demo path when no training has run."""
 
     @staticmethod
+    def init_trees(cfg: Config):
+        """Freshly-initialized (bfmnet_variables, pixrefer_g_variables)
+        at the configured sizes — the overlay targets every weight
+        loader shape-checks against."""
+        rng = jax.random.PRNGKey(0)
+        t = 8
+        bfm_vars = BFMNet(cfg.bfmnet).init(
+            {"params": rng, "dropout": rng},
+            jnp.zeros((1, t, 1)), jnp.zeros((1, t * 5, 80)),
+            jnp.full((1,), t, jnp.int32), train=False)
+        s = cfg.pixrefer.img_size
+        g_vars = px.PixReferNet(cfg.pixrefer).init(
+            jax.random.fold_in(rng, 1), jnp.zeros((1, s, s, 6)),
+            jnp.zeros((1, s, s, 6)), jnp.zeros((1, s, s, 3)))
+        return bfm_vars, g_vars
+
+    @staticmethod
+    def load_npz_weights(cfg: Config, bfmnet_npz: str, pixrefer_g_npz: str):
+        """TF-named npz dumps (the ``bfmnet.npz`` / ``pixrefer_g.npz``
+        that tools/convert_assets.py writes) -> (bfmnet_variables,
+        pixrefer_g_params), failing loudly on any unmapped or
+        mis-shaped variable."""
+        from voicepuppet_tpu.tools.tf_checkpoint import (
+            load_bfmnet_npz, load_npz, pixrefer_generator_name_map)
+
+        bfm_vars, g_vars = SynthesisAssets.init_trees(cfg)
+        bfm_vars, _, bfm_missing = load_bfmnet_npz(bfmnet_npz, bfm_vars)
+        if bfm_missing:
+            raise ValueError(
+                f"bfmnet npz {bfmnet_npz}: {len(bfm_missing)} unmapped "
+                f"variables, e.g. {bfm_missing[:3]}")
+        g_vars, _, g_missing = load_npz(pixrefer_g_npz, g_vars,
+                                        pixrefer_generator_name_map())
+        if g_missing:
+            raise ValueError(
+                f"pixrefer npz {pixrefer_g_npz}: {len(g_missing)} "
+                f"unmapped variables, e.g. {g_missing[:3]}")
+        return bfm_vars, g_vars["params"]
+
+    @staticmethod
+    def from_npz(cfg: Config, bfmnet_npz: str, pixrefer_g_npz: str,
+                 face_model=None, mesh=None, **synth_kwargs
+                 ) -> "Synthesizer":
+        """Compose a converted release dir's npz weights (the third
+        weights source next to orbax dirs and raw TF checkpoints; see
+        tools/convert_assets.py)."""
+        bfm_vars, g_params = SynthesisAssets.load_npz_weights(
+            cfg, bfmnet_npz, pixrefer_g_npz)
+        face_model = face_model or bfm_mod.synthetic_bfm(num_theta=48,
+                                                         num_phi=48)
+        return Synthesizer(cfg, face_model, bfm_vars, g_params,
+                           mesh=mesh, **synth_kwargs)
+
+    @staticmethod
     def from_checkpoints(cfg: Config, bfmnet_ckpt_dir: str,
                          pixrefer_ckpt_dir: str, face_model=None,
                          mesh=None, **synth_kwargs) -> "Synthesizer":
@@ -659,23 +713,12 @@ class SynthesisAssets:
 
         face_model = face_model or bfm_mod.synthetic_bfm(num_theta=48,
                                                          num_phi=48)
-        rng = jax.random.PRNGKey(0)
-        bfmnet = BFMNet(cfg.bfmnet)
-        t = 8
-        bfm_vars = bfmnet.init(
-            {"params": rng, "dropout": rng},
-            jnp.zeros((1, t, 1)), jnp.zeros((1, t * 5, 80)),
-            jnp.full((1,), t, jnp.int32), train=False)
+        bfm_vars, g_vars = SynthesisAssets.init_trees(cfg)
         bfm_vars, _, bfm_missing = load_bfmnet_ckpt(bfmnet_prefix, bfm_vars)
         if bfm_missing:
             raise ValueError(
                 f"bfmnet ckpt {bfmnet_prefix}: {len(bfm_missing)} unmapped "
                 f"variables, e.g. {bfm_missing[:3]}")
-        s = cfg.pixrefer.img_size
-        gen = px.PixReferNet(cfg.pixrefer)
-        g_vars = gen.init(jax.random.fold_in(rng, 1),
-                          jnp.zeros((1, s, s, 6)), jnp.zeros((1, s, s, 6)),
-                          jnp.zeros((1, s, s, 3)))
         (g_vars, _, g_missing), _ = load_pixrefer_ckpt(pixrefer_prefix,
                                                        g_vars)
         if g_missing:
@@ -755,6 +798,12 @@ def main(argv=None):
     p.add_argument("--pixrefer_tf_ckpt", default=None,
                    help="reference TF checkpoint prefix (e.g. "
                         "ckpt_pixrefer/pixrefernet-20000) — loaded TF-free")
+    p.add_argument("--bfmnet_npz", default=None,
+                   help="converted bfmnet.npz "
+                        "(tools/convert_assets.py output)")
+    p.add_argument("--pixrefer_npz", default=None,
+                   help="converted pixrefer_g.npz "
+                        "(tools/convert_assets.py output)")
     p.add_argument("image")
     p.add_argument("audio")
     args = p.parse_args(argv)
@@ -765,6 +814,8 @@ def main(argv=None):
     if (args.bfmnet_tf_ckpt is None) != (args.pixrefer_tf_ckpt is None):
         p.error("--bfmnet_tf_ckpt and --pixrefer_tf_ckpt must be given "
                 "together")
+    if (args.bfmnet_npz is None) != (args.pixrefer_npz is None):
+        p.error("--bfmnet_npz and --pixrefer_npz must be given together")
     rnet_weights = args.rnet_npz or args.rnet_pb
     if (args.landmark_model is None) != (rnet_weights is None):
         p.error("--landmark_model and --rnet_npz/--rnet_pb must be given "
@@ -774,6 +825,15 @@ def main(argv=None):
         face_model = _resolve_face_model(cfg)
         synth = SynthesisAssets.from_tf_checkpoints(
             cfg, args.bfmnet_tf_ckpt, args.pixrefer_tf_ckpt,
+            face_model=face_model)
+        identity = synthetic_identity(face_model,
+                                      img_size=cfg.pixrefer.img_size)
+    elif args.bfmnet_npz is not None:
+        # a converted release dir (tools/convert_assets.py): npz weights
+        # + (optionally) its BFM_model_front.mat via cfg.model_dir
+        face_model = _resolve_face_model(cfg)
+        synth = SynthesisAssets.from_npz(
+            cfg, args.bfmnet_npz, args.pixrefer_npz,
             face_model=face_model)
         identity = synthetic_identity(face_model,
                                       img_size=cfg.pixrefer.img_size)
@@ -805,7 +865,7 @@ def main(argv=None):
         from voicepuppet_tpu.pipeline.detect import (
             TorchScriptLandmarkProvider, sat_alignment)
         from voicepuppet_tpu.pipeline.rnet import RNetIdentityProvider
-        from voicepuppet_tpu.tools.bfm_tools import load_lm3d
+        from voicepuppet_tpu.tools.bfm_tools import resolve_lm3d
 
         src_img = load_image(args.image)[:, :cfg.pixrefer.img_size, :]
         out = sat_alignment(src_img,
@@ -814,7 +874,7 @@ def main(argv=None):
         if out is None:
             raise SystemExit("no face detected by --landmark_model")
         _, lmk68, img_cropped, lmk_c, cx, cy, ratio = out
-        lm3d = load_lm3d(cfg.model_dir)
+        lm3d = resolve_lm3d(cfg.model_dir)
         provider = (RNetIdentityProvider.from_pb(args.rnet_pb, lm3d)
                     if args.rnet_pb else
                     RNetIdentityProvider.from_npz(args.rnet_npz, lm3d))

@@ -125,6 +125,20 @@ def load_lm3d(model_dir: str) -> np.ndarray:
     return standard_lm3d(lm)
 
 
+def resolve_lm3d(model_dir: str) -> np.ndarray:
+    """The 5-point alignment landmarks from whichever form ``model_dir``
+    holds: the ``lm3d.npy`` a converted release dir carries
+    (tools/convert_assets.py) when present, else the raw
+    ``similarity_Lm3D_all.mat``."""
+    path = os.path.join(model_dir, "lm3d.npy")
+    if os.path.exists(path):
+        lm = np.load(path)
+        if lm.shape != (5, 3):
+            raise ValueError(f"{path}: shape {lm.shape}, expected (5, 3)")
+        return lm
+    return load_lm3d(model_dir)
+
+
 def save_obj(path: str, vertices: np.ndarray, faces: np.ndarray,
              colors: np.ndarray):
     """Colored mesh export: 'v x y z r g b' rows + 1-based 'f' rows."""
