@@ -253,3 +253,17 @@ def test_convert_all_end_to_end(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(tfc._get(sg, gprobe)),
         np.asarray(tfc._get(gv["params"], gprobe)))
+
+    # ...and the raw released checkpoints compose into a Synthesizer with
+    # the same weights (infer_bfmvid.py:207-218), no TF and no npz step
+    from voicepuppet_tpu.face3d import bfm as bfm_mod
+    synth = SynthesisAssets.from_tf_checkpoints(
+        cfg, str(assets / "ckpt_bfmnet" / "bfmnet-65000"),
+        str(assets / "ckpt_pixrefer" / "pixrefernet-20000"),
+        face_model=bfm_mod.synthetic_bfm(num_theta=8, num_phi=8))
+    np.testing.assert_array_equal(
+        np.asarray(tfc._get(synth.bfm_vars["params"], probe)),
+        np.asarray(tfc._get(bfm_vars["params"], probe)))
+    np.testing.assert_array_equal(
+        np.asarray(tfc._get(synth.g_params, gprobe)),
+        np.asarray(tfc._get(gv["params"], gprobe)))
