@@ -52,7 +52,8 @@ def test_main_on_empty_dir_reports_all_missing(tmp_path):
     with open(out / "manifest.json") as f:
         manifest = json.load(f)
     assert set(manifest) == {"bfm", "lm3d", "bfmnet_ckpt", "pixrefer_ckpt",
-                             "vgg16_ckpt", "rnet_pb"}
+                             "vgg16_ckpt", "rnet_pb", "seg_checkpoint",
+                             "matting_checkpoint"}
     assert all(v["status"] == "missing" for v in manifest.values())
 
 
@@ -194,12 +195,22 @@ def test_convert_all_end_to_end(tmp_path):
     (assets / "FaceReconModel.pb").write_bytes(
         _encode_graphdef(rnet_arrays))
 
+    import torch
+    from voicepuppet_tpu.tools.models_torch import (DIMMatting,
+                                                    UnetMobilenetV2)
+    torch.save({"state_dict": UnetMobilenetV2().state_dict()},
+               str(assets / "mobilenetV2_model_checkpoint_metric.pth"))
+    torch.save({"state_dict": DIMMatting().state_dict()},
+               str(assets / "BEST_checkpoint.tar"))
+
     # --- sweep ---
     manifest = ca.convert_all(str(assets), str(out), cfg=cfg)
     assert {k: v["status"] for k, v in manifest.items()} == {
         "bfm": "converted", "lm3d": "converted",
         "bfmnet_ckpt": "converted", "pixrefer_ckpt": "converted",
-        "vgg16_ckpt": "converted", "rnet_pb": "converted"}, manifest
+        "vgg16_ckpt": "converted", "rnet_pb": "converted",
+        "seg_checkpoint": "validated",
+        "matting_checkpoint": "validated"}, manifest
 
     # --- every artifact loads back through its consumer API ---
     from voicepuppet_tpu.face3d.bfm import load_bfm

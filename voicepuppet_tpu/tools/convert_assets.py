@@ -26,6 +26,10 @@ tools/bfm_tools.py), and writes a self-contained model dir plus a
                                             from cfg.model_dir)
   FaceReconModel.pb                    ->  rnet.npz (slim-named; the
                                             --rnet_npz input of synthesize)
+  mobilenetV2_model_checkpoint_metric.pth / BEST_checkpoint.tar
+                                       ->  validated in place against the
+                                            torch prep models (torch reads
+                                            them natively; models_torch)
 
 Checkpoint conversion initializes the flax models from ``--config`` (the
 reference's params.yml schema) and fails loudly when any mapped variable
@@ -220,10 +224,23 @@ def convert_lm3d(mat_path: str, out_path: str) -> Dict:
     return {"shape": list(lm3d.shape)}
 
 
+def validate_torch_prep(path: str, model_name: str) -> Dict:
+    """Data-prep torch checkpoints (make_data_from_GRID.py:505-510) are
+    consumed natively by torch — validate the load instead of converting
+    (fail-loud against the framework's module: a renamed or differently-
+    shaped release raises in models_torch._load_torch_state)."""
+    from voicepuppet_tpu.tools import models_torch as mt
+
+    model = getattr(mt, model_name)().eval()
+    matched = model.load_state(path)
+    return {"status": "validated", "matched_params": matched}
+
+
 def convert_all(assets_dir: str, out_dir: str, cfg=None) -> Dict:
     """Sweep ``assets_dir`` and convert every recognized asset into
     ``out_dir``.  Returns the manifest dict; never raises for a missing
-    or broken asset (per-asset status: converted | missing | failed)."""
+    or broken asset (per-asset status: converted | validated | missing |
+    failed)."""
     if cfg is None:
         from voicepuppet_tpu.config import Config
         cfg = Config()
@@ -235,12 +252,13 @@ def convert_all(assets_dir: str, out_dir: str, cfg=None) -> Dict:
             manifest[name] = {"status": "missing"}
             return
         try:
-            info = fn()
+            info = dict(fn())
         except Exception as exc:  # manifest captures the reason
             manifest[name] = {"status": "failed", "source": source,
                               "error": f"{type(exc).__name__}: {exc}"}
             return
-        manifest[name] = {"status": "converted", "source": source,
+        status = info.pop("status", "converted")
+        manifest[name] = {"status": status, "source": source,
                           "outputs": list(outputs), **info}
 
     bfm_src = (find_file(assets_dir, BFM_MAT)
@@ -276,6 +294,14 @@ def convert_all(assets_dir: str, out_dir: str, cfg=None) -> Dict:
     rnet_out = os.path.join(out_dir, RNET_NPZ)
     run("rnet_pb", rnet_src, lambda: convert_rnet(rnet_src, rnet_out),
         RNET_NPZ)
+
+    seg_src = find_file(assets_dir, "mobilenetV2_model_checkpoint_metric.pth")
+    run("seg_checkpoint", seg_src,
+        lambda: validate_torch_prep(seg_src, "UnetMobilenetV2"))
+
+    dim_src = find_file(assets_dir, "BEST_checkpoint.tar")
+    run("matting_checkpoint", dim_src,
+        lambda: validate_torch_prep(dim_src, "DIMMatting"))
 
     return manifest
 

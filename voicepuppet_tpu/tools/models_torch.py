@@ -131,7 +131,7 @@ class UnetMobilenetV2(nn.Module):
         return self.head(y)
 
     def load_state(self, path: str):
-        _load_torch_state(self, path)
+        return _load_torch_state(self, path)
 
 
 class _BasicBlock(nn.Module):
@@ -209,7 +209,7 @@ class UnetResNet(nn.Module):
         return self.head(out)
 
     def load_state(self, path: str):
-        _load_torch_state(self, path)
+        return _load_torch_state(self, path)
 
 
 class DIMMatting(nn.Module):
@@ -250,7 +250,7 @@ class DIMMatting(nn.Module):
         return torch.sigmoid(self.head(x))
 
     def load_state(self, path: str):
-        _load_torch_state(self, path)
+        return _load_torch_state(self, path)
 
 
 def predict_mask(model: UnetMobilenetV2, image, size: int = 320):
