@@ -86,6 +86,23 @@ def test_resolve_lm3d_prefers_converted_npy(tmp_path):
         resolve_lm3d(str(tmp_path))
 
 
+def test_vgg_load_weights_strict_rejects_partial_npz(tmp_path):
+    """A truncated/mis-shaped vgg16_weights.npz fails loudly instead of
+    silently training the perceptual loss on random init."""
+    import jax
+    import jax.numpy as jnp
+    from voicepuppet_tpu.models.vgg import VGG16Features, load_weights
+
+    model = VGG16Features(widths=(4, 8, 12, 16))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+    path = tmp_path / "vgg16_weights.npz"
+    np.savez(path, conv1_1_kernel=np.zeros((3, 3, 3, 4), np.float32))
+    with pytest.raises(ValueError, match="absent or mis-shaped"):
+        load_weights(str(path), params)
+    assert load_weights(str(path), params, strict=False) is not None
+
+
 def _tiny_cfg():
     import dataclasses
     from voicepuppet_tpu.config import Config

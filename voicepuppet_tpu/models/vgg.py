@@ -71,21 +71,29 @@ def init_vgg(rng, image_size: int = 64):
     return model, variables["params"]
 
 
-def load_weights(npz_path: str, params):
+def load_weights(npz_path: str, params, strict: bool = True):
     """Overlay converted slim-ckpt weights (saved as ``conv{i}_{j}_kernel``
     / ``conv{i}_{j}_bias`` arrays) onto the init pytree.
 
-    To load the released ``vgg_16.ckpt`` directly (TF-free, no npz step)
-    use :func:`voicepuppet_tpu.tools.tf_bundle.load_vgg16_checkpoint`."""
+    ``strict`` (default): an absent or mis-shaped array for any trunk
+    conv raises instead of silently leaving random init in the
+    perceptual loss (fail-loud converter principle).  To load the
+    released ``vgg_16.ckpt`` directly (TF-free, no npz step) use
+    :func:`voicepuppet_tpu.tools.tf_bundle.load_vgg16_checkpoint`."""
     blob = np.load(npz_path)
     out = jax.tree_util.tree_map(lambda x: x, params)
+    missing = []
     for name in list(out.keys()):
-        k = f"{name}_kernel"
-        b = f"{name}_bias"
-        if k in blob:
-            out[name]["kernel"] = jnp.asarray(blob[k])
-        if b in blob:
-            out[name]["bias"] = jnp.asarray(blob[b])
+        for part, key in (("kernel", f"{name}_kernel"),
+                          ("bias", f"{name}_bias")):
+            if key not in blob or blob[key].shape != out[name][part].shape:
+                missing.append(key)
+                continue
+            out[name][part] = jnp.asarray(blob[key])
+    if strict and missing:
+        raise ValueError(
+            f"{npz_path}: {len(missing)} trunk arrays absent or "
+            f"mis-shaped, e.g. {missing[:3]}")
     return out
 
 
