@@ -295,3 +295,39 @@ def test_convert_all_end_to_end(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(tfc._get(synth.g_params, gprobe)),
         np.asarray(tfc._get(gv["params"], gprobe)))
+
+    # finally the synthesize CLI runs the full product path from the
+    # converted npz weights (the BFM stays the synthetic stand-in here —
+    # the miniature fixture BFM is raster-proven by test_bfm09_ingest)
+    from PIL import Image
+    from scipy.io import wavfile
+    from voicepuppet_tpu.pipeline import synthesize as synth_cli
+
+    s_out = tmp_path / "synth_out"
+    yml = tmp_path / "params.yml"
+    yml.write_text(f"""
+default:
+  model_dir: {tmp_path}/empty_models
+  bfmnet:
+    backbone_width_mult: 0.25
+    thinresnet_output_channels: 32
+    encode_embedding_size: 32
+    rnn_hidden_size: 32
+  pixrefer:
+    ngf: 4
+    ndf: 4
+    img_size: {s}
+""")
+    panel = (rng.rand(s, 3 * s, 3) * 255).astype(np.uint8)
+    Image.fromarray(panel).save(tmp_path / "panel.jpg")
+    pcm = 0.3 * np.sin(2 * np.pi * 220 * np.arange(8000) / 16000.0)
+    wavfile.write(tmp_path / "in.wav", 16000,
+                  (pcm * 32767).astype(np.int16))
+    synth_cli.main(["--config_path", str(yml),
+                    "--bfmnet_npz", str(out / ca.BFMNET_NPZ),
+                    "--pixrefer_npz", str(out / ca.PIXREFER_G_NPZ),
+                    "--out_dir", str(s_out),
+                    str(tmp_path / "panel.jpg"), str(tmp_path / "in.wav")])
+    pngs = sorted(s_out.glob("*.png"))
+    assert len(pngs) >= 10
+    assert np.asarray(Image.open(pngs[0])).shape == (s, s, 3)
