@@ -151,3 +151,27 @@ def test_reconstruct_rotation_overrides_pose(model, fm, coeff):
     rot = morph.rotation_matrix(ang)
     np.testing.assert_allclose(np.asarray(rec_a.face_shape),
                                np.asarray(rec_b.face_shape @ rot), atol=1e-5)
+
+
+def test_corner_cache_norm_matches_gather_path(model, coeff):
+    """device_bfm(corner_cache=True) swaps the compute_norm corner
+    gathers for pre-gathered-basis matmuls (the round-4 decode
+    optimization); the normals — and the full reconstruction built on
+    them — must match the gather formulation to float32 round-off."""
+    fm_g = morph.device_bfm(model)
+    fm_c = morph.device_bfm(model, corner_cache=True)
+    idc, exc = coeff[:, :80], coeff[:, 80:144]
+    shape = morph.shape_formation(idc, exc, fm_g)
+    want = np.asarray(morph.compute_norm(shape, fm_g))
+    got = np.asarray(morph.compute_norm_from_coeff(idc, exc, fm_c))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    rec_g = morph.reconstruct(coeff, fm_g)
+    rec_c = morph.reconstruct(coeff, fm_c)
+    np.testing.assert_allclose(np.asarray(rec_c.face_color),
+                               np.asarray(rec_g.face_color), atol=1e-4)
+    # geometry does not depend on normals at all: bit-identical
+    np.testing.assert_array_equal(np.asarray(rec_c.face_projection),
+                                  np.asarray(rec_g.face_projection))
+    np.testing.assert_array_equal(np.asarray(rec_c.z_buffer),
+                                  np.asarray(rec_g.z_buffer))

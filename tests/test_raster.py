@@ -430,3 +430,178 @@ def test_pallas_interp_tall_triangle_guard(mesh):
     # 1e-4 is pinned by test_pallas_rasterize_triangles_matches_spec
     np.testing.assert_allclose(np.asarray(depth[0])[sel], want_d[sel],
                                atol=2e-3)
+
+
+def test_xband_kernel_matches_sequential_spec(mesh):
+    """The x-banded Mosaic kernel (128-lane windows, triangles shifted
+    into 96-strided bands, order-free band merge) must match the
+    sequential spec bit-exactly on a wide canvas where triangles land in
+    BOTH bands — including across the 32-px band overlap."""
+    from voicepuppet_tpu.ops.raster_pallas import (_num_xbands,
+                                                   render_colors_xband_pallas)
+    verts, tris, colors = mesh
+    wide_w = 224
+    assert _num_xbands(wide_w) == 2
+    verts = verts.copy()
+    # spread the mesh across the full 224-px width so both bands and the
+    # [96, 128) overlap are exercised
+    verts[:, 0] = (verts[:, 0] - verts[:, 0].mean()) * 2.2 + wide_w / 2
+    want_img, want_mask = raster_ref.render_colors_ref(verts, tris, colors,
+                                                       H, wide_w)
+    assert want_mask[:, :96].sum() > 0 and want_mask[:, 128:].sum() > 0
+    for guard in (True, False):   # False forces the banded path: proves
+        got_img, got_mask = render_colors_xband_pallas(   # the guard cond
+            verts[None], colors[None], tris, h=H, w=wide_w,  # took it too
+            guard=guard, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_mask[0]), want_mask)
+        np.testing.assert_array_equal(np.asarray(got_img[0]), want_img)
+
+
+def test_xband_depth_and_tie_across_band_seam():
+    """Triangles assigned to DIFFERENT bands overlapping in the [96, 128)
+    seam region: the band merge must reproduce the sequential semantics —
+    strictly nearer wins regardless of band/order, and on an exact depth
+    tie the lower triangle id wins (mesh_core.cpp:205: strict >)."""
+    from voicepuppet_tpu.ops.raster_pallas import render_colors_xband_pallas
+    w = 224
+    # band-0 triangle (x_min < 96) and band-1 triangle (x_min >= 96),
+    # both covering pixels around x ~ 105
+    tri_a = [[90.0, 10.0], [120.0, 10.0], [105.0, 40.0]]
+    tri_b = [[100.0, 5.0], [126.0, 20.0], [96.5, 35.0]]
+    for za, zb, first_wins_color in [(5.0, 1.0, 200), (1.0, 5.0, 50),
+                                     (3.0, 3.0, 200)]:
+        verts = np.array([p + [za] for p in tri_a]
+                         + [p + [zb] for p in tri_b], np.float32)
+        colors = np.array([[200.0]] * 3 + [[50.0]] * 3, np.float32)
+        tris = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+        want_img, want_mask = raster_ref.render_colors_ref(
+            verts, tris, colors, 48, w)
+        # win=48 = full-height windows: the y dimension is not under
+        # test here (triangles are ~30 px tall), only the x-band merge
+        got_img, got_mask = render_colors_xband_pallas(
+            verts[None], colors[None], tris, h=48, w=w, win=48,
+            guard=False, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_mask[0]), want_mask)
+        np.testing.assert_array_equal(np.asarray(got_img[0]), want_img)
+        assert np.asarray(got_img[0])[15, 107, 0] == first_wins_color
+
+
+def test_xband_guard_falls_back_on_wide_triangle(mesh):
+    """A triangle wider than the 33-px band slack straddling a band seam
+    must trip the x-fits preflight: guard=True renders exactly via the
+    full-width fallback; guard=False provably crops (so the test actually
+    guards something)."""
+    from voicepuppet_tpu.ops.raster_pallas import render_colors_xband_pallas
+    verts, tris, colors = mesh
+    wide_w = 224
+    verts = verts.copy()
+    verts[:, 0] += (wide_w - W) / 2
+    t0 = tris[0]
+    # x-span ~120 px starting at x=60: band 0, x_max' = 180 > 127
+    verts[t0[0], :2] = [60.3, H * 0.4]
+    verts[t0[1], :2] = [180.3, H * 0.3]
+    verts[t0[2], :2] = [120.3, H * 0.6]
+    verts[t0, 2] = 50.0  # in front: its pixels must be visible
+    want_img, want_mask = raster_ref.render_colors_ref(verts, tris, colors,
+                                                       H, wide_w)
+    got_img, got_mask = render_colors_xband_pallas(
+        verts[None], colors[None], tris, h=H, w=wide_w, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_mask[0]), want_mask)
+    np.testing.assert_array_equal(np.asarray(got_img[0]), want_img)
+    cropped_img, _ = render_colors_xband_pallas(
+        verts[None], colors[None], tris, h=H, w=wide_w, guard=False,
+        interpret=True)
+    assert (np.asarray(cropped_img[0]) != want_img).any(), \
+        "guard=False should crop (otherwise this test guards nothing)"
+
+
+def test_xband_low_bit_y_coords_stay_bit_exact():
+    """Regression for the round-4 on-device find: shifting p0y by
+    +h·band rounded away its low float32 bits (coarser ulp grid at the
+    larger magnitude), flipping borderline inside tests — 5/114k winner
+    flips on the real mesh.  Band-1 triangles whose y coordinates carry
+    2^-17-grade low bits (finer than ulp at y+224) must still match the
+    plain kernel bit-exactly; the fix shifts only the integer window
+    origin and rebases rows via y0w % h in-kernel."""
+    from voicepuppet_tpu.ops.raster_pallas import (
+        render_colors_pallas, render_colors_xband_pallas)
+    rng = np.random.default_rng(7)
+    n_tri = 96
+    # all triangles inside band 1 (x in [100, 214]); y spans <= 8 px so
+    # the win=16 aligned window never crops (the guarded plain path
+    # would otherwise fall back to full render while guard=False crops,
+    # a difference that is not under test here); y low bits on the
+    # 2^-17 grid (dropped by fl(y + 224))
+    anchor = rng.uniform([100.0, 8.0], [200.0, 200.0], (n_tri, 2))
+    offs = rng.uniform(2.0, 14.0, (n_tri, 2, 2))
+    offs[..., 1] = np.clip(offs[..., 1], 2.0, 8.0)
+    pts = np.concatenate([anchor[:, None], anchor[:, None] + offs], 1)
+    pts = np.float32(np.floor(pts * 4) / 4)
+    pts[..., 1] += np.float32(2.0 ** -17) * rng.integers(
+        0, 8, (n_tri, 3)).astype(np.float32)
+    # exact depth ties so winner identity is decided by the inside test
+    verts = np.concatenate(
+        [pts.reshape(-1, 2), np.full((3 * n_tri, 1), 5.0, np.float32)],
+        axis=1).astype(np.float32)
+    tris = np.arange(3 * n_tri, dtype=np.int32).reshape(n_tri, 3)
+    colors = np.repeat(rng.uniform(0, 255, (n_tri, 1, 3)), 3, axis=1
+                       ).reshape(-1, 3).astype(np.float32)
+    want_img, want_mask = render_colors_pallas(
+        verts[None], colors[None], tris, h=224, w=224, interpret=True)
+    got_img, got_mask = render_colors_xband_pallas(
+        verts[None], colors[None], tris, h=224, w=224, guard=False,
+        interpret=True)
+    assert np.asarray(want_mask).sum() > 0
+    np.testing.assert_array_equal(np.asarray(got_mask), np.asarray(want_mask))
+    np.testing.assert_array_equal(np.asarray(got_img), np.asarray(want_img))
+
+
+def test_xband_edge_through_pixel_centers_minus_ulp():
+    """Deterministic form of the p0y-rounding regression: a band-1
+    triangle whose p0-p1 edge (slope 3/4) passes 2^-17 BELOW the pixel
+    centers (108,43), (112,46), (116,49) -- exactly outside (the f32
+    cancellation leaves u a clean negative multiple of 2^-8/deno).  The
+    broken +h*band table shift rounded p0y onto the lattice
+    (fl(40 - 2^-17 + 224) = 264 -- the low bit is under half an ulp at
+    264), turning u = 0 -> inside at those pixels.  The fixed path
+    (integer-only y0w shift, rows rebased via y0w % h in-kernel) must
+    match the sequential spec bit-exactly."""
+    from voicepuppet_tpu.ops.raster_pallas import render_colors_xband_pallas
+    eps = np.float32(2.0 ** -17)
+    # the premise of the regression: the +224 shift drops the low bit
+    assert np.float32(np.float32(np.float32(40.0) - eps)
+                      + np.float32(224.0)) == 264.0
+    verts = np.array([[104.0, 40.0 - eps, 5.0],
+                      [120.0, 52.0 - eps, 5.0],
+                      [118.0, 42.0, 5.0]], np.float32)
+    tris = np.array([[0, 1, 2]], np.int32)
+    colors = np.full((3, 3), 90.0, np.float32)
+    want_img, want_mask = raster_ref.render_colors_ref(verts, tris, colors,
+                                                       224, 224)
+    # the on-edge pixels are OUTSIDE in exact semantics; the triangle
+    # interior is live right next to them
+    assert want_mask[46, 112] == 0 and want_mask[43, 108] == 0
+    assert want_mask[49, 116] == 0 and want_mask[44, 112] > 0
+    got_img, got_mask = render_colors_xband_pallas(
+        verts[None], colors[None], tris, h=224, w=224, guard=False,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_mask[0]), want_mask)
+    np.testing.assert_array_equal(np.asarray(got_img[0]), want_img)
+
+
+def test_xband_narrow_canvas_dispatches_to_plain():
+    """Canvases <= 128 px wide take the single-band (plain) path and stay
+    exact."""
+    from voicepuppet_tpu.ops.raster_pallas import (_num_xbands,
+                                                   render_colors_xband_pallas)
+    assert _num_xbands(96) == 1
+    verts = np.array([[2.0, 2.0, 1.0], [28.0, 2.0, 1.0],
+                      [2.0, 28.0, 1.0]], np.float32)
+    tris = np.array([[0, 1, 2]], np.int32)
+    colors = np.full((3, 3), 90.0, np.float32)
+    want_img, want_mask = raster_ref.render_colors_ref(verts, tris, colors,
+                                                       32, 96)
+    got_img, got_mask = render_colors_xband_pallas(
+        verts[None], colors[None], tris, h=32, w=96, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_mask[0]), want_mask)
+    np.testing.assert_array_equal(np.asarray(got_img[0]), want_img)

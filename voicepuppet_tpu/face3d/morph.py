@@ -17,7 +17,7 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,18 @@ from voicepuppet_tpu.face3d.bfm import BFMModel
 
 
 class DeviceBFM(NamedTuple):
-    """BFM constants prepared for device compute (0-based int32 topology)."""
+    """BFM constants prepared for device compute (0-based int32 topology).
+
+    The optional ``corner_*`` fields (``device_bfm(corner_cache=True)``)
+    are the PCA basis/mean rows pre-gathered per triangle corner: with
+    them :func:`compute_norm_from_coeff` produces the per-face corner
+    vertices as MXU matmuls instead of three per-frame gathers — the
+    round-4 decode profile measured the gathers index-count-bound
+    (~15 ns/index, 3.2 ms of the 6.5 ms decode at 16 frames x 70k
+    triangles), while the same dot products as a [F·9, 144]-row matmul
+    are HBM-bound at ~0.5 ms.  Costs ~370 MB of device memory at BFM
+    scale; value parity with the gather path is pinned by
+    tests/test_morph.py."""
     meanshape: jax.Array   # [N, 3]
     recenter: jax.Array    # [1, 3] mean of meanshape vertices
     id_base: jax.Array     # [3N, 80]
@@ -37,11 +48,24 @@ class DeviceBFM(NamedTuple):
     tri: jax.Array         # [F, 3] int32, 0-based
     point_buf: jax.Array   # [N, 8] int32, 0-based (sentinel = F)
     keypoints: jax.Array   # [68] int32, 0-based
+    corner_id_base: Optional[jax.Array] = None  # [F, 3c, 3xyz, 80]
+    corner_ex_base: Optional[jax.Array] = None  # [F, 3c, 3xyz, 64]
+    corner_mean: Optional[jax.Array] = None     # [F, 3c, 3xyz] (raw)
 
 
-def device_bfm(model: BFMModel) -> DeviceBFM:
+def device_bfm(model: BFMModel, corner_cache: bool = False) -> DeviceBFM:
     n = model.num_vertices
     meanshape = model.meanshape.reshape(n, 3)
+    corner = {}
+    if corner_cache:
+        tri0 = np.asarray(model.tri, np.int64) - 1
+        idb = np.asarray(model.idBase, np.float32).reshape(n, 3, 80)
+        exb = np.asarray(model.exBase, np.float32).reshape(n, 3, 64)
+        corner = dict(
+            corner_id_base=jnp.asarray(idb[tri0]),
+            corner_ex_base=jnp.asarray(exb[tri0]),
+            corner_mean=jnp.asarray(meanshape.astype(np.float32)[tri0]),
+        )
     return DeviceBFM(
         meanshape=jnp.asarray(meanshape, jnp.float32),
         recenter=jnp.asarray(meanshape.mean(axis=0, keepdims=True),
@@ -54,6 +78,7 @@ def device_bfm(model: BFMModel) -> DeviceBFM:
         point_buf=jnp.asarray(np.asarray(model.point_buf, np.int64) - 1,
                               jnp.int32),
         keypoints=jnp.asarray(model.keypoints, jnp.int32),
+        **corner,
     )
 
 
@@ -89,21 +114,50 @@ def texture_formation(tex_coeff: jax.Array, fm: DeviceBFM) -> jax.Array:
     return flat.reshape(flat.shape[0], -1, 3)
 
 
+def _one_ring_normals(face_norm: jax.Array, fm: DeviceBFM) -> jax.Array:
+    """Per-face normals [B,F,3] -> unit one-ring vertex normals [B,N,3]:
+    gathered through ``point_buf`` (each vertex lists its ≤8 adjacent
+    faces; the sentinel row indexes a zero normal) — a pure gather
+    formulation, no scatter needed (ref: utils/reconstruct_mesh.py:44-52).
+    """
+    zeros = jnp.zeros((face_norm.shape[0], 1, 3), face_norm.dtype)
+    face_norm = jnp.concatenate([face_norm, zeros], axis=1)
+    v_norm = jnp.sum(face_norm[:, fm.point_buf, :], axis=2)
+    return v_norm / jnp.linalg.norm(v_norm, axis=2, keepdims=True)
+
+
 def compute_norm(face_shape: jax.Array, fm: DeviceBFM) -> jax.Array:
     """One-ring vertex normals: [B,N,3] -> [B,N,3]
-    (ref: utils/reconstruct_mesh.py:35-52).
-
-    Per-face normals are gathered through ``point_buf`` (each vertex lists its
-    ≤8 adjacent faces; the sentinel row indexes a zero normal) — a pure gather
-    formulation, no scatter needed."""
+    (ref: utils/reconstruct_mesh.py:35-52)."""
     v1 = face_shape[:, fm.tri[:, 0], :]
     v2 = face_shape[:, fm.tri[:, 1], :]
     v3 = face_shape[:, fm.tri[:, 2], :]
     face_norm = jnp.cross(v1 - v2, v2 - v3)
-    zeros = jnp.zeros((face_shape.shape[0], 1, 3), face_norm.dtype)
-    face_norm = jnp.concatenate([face_norm, zeros], axis=1)
-    v_norm = jnp.sum(face_norm[:, fm.point_buf, :], axis=2)
-    return v_norm / jnp.linalg.norm(v_norm, axis=2, keepdims=True)
+    return _one_ring_normals(face_norm, fm)
+
+
+def compute_norm_from_coeff(id_coeff: jax.Array, ex_coeff: jax.Array,
+                            fm: DeviceBFM) -> jax.Array:
+    """Gather-free :func:`compute_norm`: [B,80],[B,64] -> [B,N,3].
+
+    The triangle-corner vertices come straight from the pre-gathered
+    corner bases (``device_bfm(corner_cache=True)``) as MXU matmuls —
+    the same dot products :func:`shape_formation` + the corner gathers
+    would compute, in the same add order (id-einsum + ex-einsum + mean,
+    then recenter), so values match the gather path to float32
+    round-off.  The round-4 decode profile measured the three corner
+    gathers at ~15 ns/index (3.2 ms of the 6.5 ms decode per 16-frame
+    chunk); this formulation is HBM-bound at ~0.5 ms."""
+    v = (jnp.einsum("fcxk,bk->bfcx", fm.corner_id_base, id_coeff,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+         + jnp.einsum("fcxk,bk->bfcx", fm.corner_ex_base, ex_coeff,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+         + fm.corner_mean[None])
+    v = v - fm.recenter[None, None]
+    face_norm = jnp.cross(v[:, :, 0] - v[:, :, 1], v[:, :, 1] - v[:, :, 2])
+    return _one_ring_normals(face_norm, fm)
 
 
 def rotation_matrix(angles: jax.Array) -> jax.Array:
@@ -201,7 +255,9 @@ def reconstruct(coeff: jax.Array, fm: DeviceBFM,
     id_c, ex_c, tex_c, angles, gamma, translation = split_coeff(coeff)
     face_shape = shape_formation(id_c, ex_c, fm)
     face_texture = texture_formation(tex_c, fm)
-    face_norm = compute_norm(face_shape, fm)
+    face_norm = (compute_norm_from_coeff(id_c, ex_c, fm)
+                 if fm.corner_id_base is not None
+                 else compute_norm(face_shape, fm))
     rotation = rotation_matrix(angles)
     face_norm_r = face_norm @ rotation
     face_projection, z_buffer = projection_layer(face_shape, rotation,
@@ -225,7 +281,9 @@ def reconstruct_rotation(coeff: jax.Array, fm: DeviceBFM,
     id_c, ex_c, tex_c, _, gamma, translation = split_coeff(coeff)
     face_shape = shape_formation(id_c, ex_c, fm)
     face_texture = texture_formation(tex_c, fm)
-    face_norm = compute_norm(face_shape, fm)
+    face_norm = (compute_norm_from_coeff(id_c, ex_c, fm)
+                 if fm.corner_id_base is not None
+                 else compute_norm(face_shape, fm))
     rotation = rotation_matrix(angles)
     face_norm_r = face_norm @ rotation
     face_shape = face_shape @ rotation

@@ -125,7 +125,16 @@ def _triangle_table(vertices: jax.Array, triangles: jax.Array,
 
 def _raster_kernel(tri_ref, depth_ref, winner_ref, *, h: int, w: int,
                    num_tri: int, win: int, fb: int, chunk: int,
-                   unroll: int = 4):
+                   unroll: int = 4, band_h: int = 0):
+    """``band_h``: x-banded mode (rasterize_winner_xband_pallas) — the
+    output rows hold ``h // band_h`` stacked band_h-row bands and y0w
+    (slot 15) is pre-shifted by band·band_h for ADDRESSING only; the
+    y COORDINATE base is recovered as ``y0w % band_h`` so the
+    barycentric math sees the original (unshifted, hence un-rounded)
+    p0y/y_min/y_max.  Shifting p0y itself by +band·band_h is NOT
+    bit-safe in float32: the sum lands on a coarser ulp grid and drops
+    low bits of p0y, flipping borderline inside tests (caught on-device
+    in round 4 — 5/114k winner flips on the real mesh)."""
     chunk_id = pl.program_id(1)
 
     @pl.when(chunk_id == 0)
@@ -155,8 +164,9 @@ def _raster_kernel(tri_ref, depth_ref, winner_ref, *, h: int, w: int,
         y_min = tri_ref[fr, i, 13]
         y_max = tri_ref[fr, i, 14]
         y0w = pl.multiple_of(tri_ref[fr, i, 15].astype(jnp.int32), 8)
+        y0c = y0w % band_h if band_h else y0w
 
-        rows = row_off + y0w.astype(jnp.float32)
+        rows = row_off + y0c.astype(jnp.float32)
         px = col - p0x
         py = rows - p0y
         dot02 = v0x * px + v0y * py
@@ -480,6 +490,186 @@ def render_colors_grouped_pallas(vertices: jax.Array, colors: jax.Array,
     winner, _ = rasterize_winner_grouped_pallas(
         vertices, triangles, h, w, win=win, group=group, fb=fb,
         fallback=fallback, interpret=interpret)
+    return _flat_color_image(winner, colors, triangles, h, w)
+
+
+# ---- x-banded winner raster: 128-lane windows ----------------------------
+#
+# The round-3/4 kernel studies (docs/PERF.md) localized the per-triangle
+# floor in the [win, W] window VECTOR work itself (fb sweeps, grouped-RMW,
+# and the carried-register Phase A all measured no gain from touching the
+# RMW chain, while the "w=128 canvas" row measured ~19% faster).  A 224-px
+# canvas pads to 256 lanes = 2 vector registers per window row; assigning
+# every triangle to one of ``nb`` 128-lane x-bands (origins 0, 96, 192, …
+# — adjacent bands overlap by 32 px >> the p99 ~7 px triangle width)
+# halves that.  The band shift is folded into the per-triangle constants
+# (p0x/x_min/x_max shifted by -96·band — bit-safe: band > 0 implies
+# x_min >= 96·band, so p0x >= 96·band - 1 and the subtraction's result is
+# a multiple of ulp(p0x) below it in magnitude, i.e. exact; the
+# barycentric subtraction then rounds the same real number either way),
+# and the bands stack along rows via the INTEGER window origin y0w only
+# (+h·band, exact) — p0y/y_min/y_max stay unshifted and the kernel's
+# band_h mode recovers the y coordinate base as y0w % h, because
+# p0y + h·band would land on a coarser float32 grid and drop low bits
+# (measured on-device: 5/114k winner flips).  Per-band results
+# merge with the order-free (max-depth, min-id) rule — proven equivalent
+# to the sequential C++ semantics in face3d/raster.py:14-23
+# (mesh_core.cpp:169-231's in-order strict-> depth test).
+XBAND_STRIDE = 96
+XBAND_LANES = 128
+
+
+def _num_xbands(w: int) -> int:
+    """Bands at origins 0, 96, 192, … covering [96k, 96k+128) up to w."""
+    if w <= XBAND_LANES:
+        return 1
+    return -(-(w - XBAND_LANES) // XBAND_STRIDE) + 1
+
+
+def _xband_table(table: jax.Array, h: int, nb: int
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Shift each triangle's constants into its 128-lane x-band.
+
+    band = clip(floor(x_min/96), 0, nb-1): x coords shift by -96·band
+    (p0x, x_min, x_max — exact in float32 since band > 0 implies
+    p0x >= 96·band - 1; the edge vectors are translation invariant).
+    Along y ONLY the integer window origin y0w shifts (+h·band, exact)
+    so band k's window rows land in rows [k·h, (k+1)·h) of the stacked
+    buffer; p0y/y_min/y_max stay in the original coordinate domain and
+    the kernel's band_h mode rebases rows via y0w % h (shifting p0y
+    would round its low bits away — see _raster_kernel).  y0w stays
+    8-aligned because h % 8 == 0 (asserted by the caller).
+
+    Returns (banked table, fits_x): fits_x is True iff every triangle's
+    x-extent lands inside its band — x_max - 96·band <= 127, guaranteed
+    for spans <= 33 px except degenerate/oversized ones, which the guard
+    routes to the full-width kernel.  Padded rows (x_min 0, x_max -1)
+    take band 0 and never draw."""
+    bank = jnp.clip(jnp.floor(table[..., 11] / float(XBAND_STRIDE)),
+                    0.0, float(nb - 1))
+    xs = bank * float(XBAND_STRIDE)
+    ys = bank * float(h)
+    t = table
+    t = t.at[..., 0].add(-xs)
+    t = t.at[..., 11].add(-xs)
+    t = t.at[..., 12].add(-xs)
+    t = t.at[..., 15].add(ys)
+    fits_x = jnp.all(t[..., 12] <= float(XBAND_LANES - 1))
+    return t, fits_x
+
+
+def _merge_xbands(depth_b: jax.Array, winner_b: jax.Array, b: int, h: int,
+                  w: int, nb: int, num_tri: int
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """[B, nb·h, 128] stacked band buffers -> [B, h, w] canvas via the
+    order-free (max-depth, min-id) merge on the 32-px band overlaps
+    (exact: face3d/raster.py:14-23).  Uncovered pixels hold
+    (DEPTH_INIT, num_tri) in every band and merge to themselves."""
+    d = depth_b.reshape(b, nb, h, XBAND_LANES)
+    wn = winner_b.reshape(b, nb, h, XBAND_LANES)
+    out_d = jnp.full((b, h, w), DEPTH_INIT, jnp.float32)
+    out_w = jnp.full((b, h, w), num_tri, jnp.int32)
+    for k in range(nb):
+        x0 = XBAND_STRIDE * k
+        width = min(XBAND_LANES, w - x0)
+        dk = d[:, k, :, :width]
+        wk = wn[:, k, :, :width]
+        cd = out_d[:, :, x0:x0 + width]
+        cw = out_w[:, :, x0:x0 + width]
+        better = (dk > cd) | ((dk == cd) & (wk < cw))
+        out_d = out_d.at[:, :, x0:x0 + width].set(jnp.where(better, dk, cd))
+        out_w = out_w.at[:, :, x0:x0 + width].set(jnp.where(better, wk, cw))
+    return out_d, out_w
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "win", "fb", "guard",
+                                    "interpret"))
+def rasterize_winner_xband_pallas(vertices: jax.Array,
+                                  triangles: jax.Array, h: int = 224,
+                                  w: int = 224, win: int = WIN,
+                                  fb: Optional[int] = None,
+                                  guard: bool = True,
+                                  interpret: bool = False):
+    """x-banded :func:`rasterize_winner_pallas`: identical signature and
+    bit-exact output, with the per-triangle window vector work running on
+    [win, 128] lanes instead of [win, W-padded-to-256].
+
+    ``guard`` (default on): the fits preflight additionally checks the
+    x-extent (x_max inside the triangle's band) and falls back to the
+    full-width full-canvas-window kernel via ``lax.cond`` — correct
+    output for any mesh/scale, slower.  ``guard=False`` renders the
+    banded path unconditionally (crops oversized triangles, like the
+    unguarded per-triangle path).  Canvases <= 128 px wide or with
+    h % 8 != 0 dispatch straight to :func:`rasterize_winner_pallas`."""
+    assert win % 8 == 0 and win >= 8
+    b = vertices.shape[0]
+    f = triangles.shape[0]
+    nb = _num_xbands(w)
+    if nb == 1 or h % 8 != 0:
+        return rasterize_winner_pallas(vertices, triangles, h, w, win=win,
+                                       fb=fb, guard=guard,
+                                       interpret=interpret)
+    if fb is None:
+        fb = _fb_for_batch(b)
+    assert b % fb == 0
+    chunk = 512 // fb
+    table = _triangle_table(vertices.astype(jnp.float32), triangles, h, w,
+                            win, pad_to=chunk)
+    table_x, fits_x = _xband_table(table, h, nb)
+    nc = table.shape[1] // chunk
+
+    band_kernel = functools.partial(_raster_kernel, h=nb * h,
+                                    w=XBAND_LANES, num_tri=f, win=win,
+                                    fb=fb, chunk=chunk,
+                                    unroll=_unroll_for(chunk), band_h=h)
+
+    def run_band(tab):
+        depth_b, winner_b = _winner_pallas_call(
+            band_kernel, tab, b=b, h=nb * h, w=XBAND_LANES, fb=fb, nc=nc,
+            slots=16, interpret=interpret)
+        return _merge_xbands(depth_b, winner_b, b, h, w, nb, f)
+
+    if not guard:
+        depth, winner = run_band(table_x)
+        return winner, depth
+
+    full_kernel = functools.partial(_raster_kernel, h=h, w=w, num_tri=f,
+                                    win=h, fb=fb, chunk=chunk,
+                                    unroll=_unroll_for(chunk))
+
+    def run_full(tab):
+        # win = h makes every aligned window origin 0 (full canvas)
+        return _winner_pallas_call(full_kernel, tab.at[..., 15].set(0.0),
+                                   b=b, h=h, w=w, fb=fb, nc=nc, slots=16,
+                                   interpret=interpret)
+
+    # fits on the UNSHIFTED table: table_x's y0w carries the +h·band
+    # addressing shift while y_max does not, so checking table_x would
+    # be spuriously lenient (the relation itself is shift-invariant)
+    depth, winner = jax.lax.cond(
+        _window_fits(table, win) & fits_x,
+        lambda tabs: run_band(tabs[0]),
+        lambda tabs: run_full(tabs[1]),
+        (table_x, table))
+    return winner, depth
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "win", "fb", "guard",
+                                    "interpret"))
+def render_colors_xband_pallas(vertices: jax.Array, colors: jax.Array,
+                               triangles: jax.Array, h: int = 224,
+                               w: int = 224, win: int = WIN,
+                               fb: Optional[int] = None,
+                               guard: bool = True,
+                               interpret: bool = False
+                               ) -> Tuple[jax.Array, jax.Array]:
+    """x-banded variant of :func:`render_colors_pallas` (flat-shaded
+    z-buffer, exact C++ ordering semantics; mesh_core.cpp:169-231)."""
+    winner, _ = rasterize_winner_xband_pallas(vertices, triangles, h, w,
+                                              win=win, fb=fb, guard=guard,
+                                              interpret=interpret)
     return _flat_color_image(winner, colors, triangles, h, w)
 
 
