@@ -1,12 +1,14 @@
 from voicepuppet_tpu.ops.raster_pallas import (render_colors_pallas,
                                                render_colors_grouped_pallas,
+                                               render_colors_xband_pallas,
                                                rasterize_triangles_pallas,
                                                rasterize_winner_pallas,
                                                render_texture_pallas)
 
 
 def render_colors_auto(vertices, colors, triangles, h: int = 224,
-                       w: int = 224, bb: int = 6, group: int = 0):
+                       w: int = 224, bb: int = 6, group: int = 0,
+                       xband: bool = True):
     """Backend-dispatched flat-shaded raster: the Mosaic kernel on TPU,
     the XLA scatter formulation elsewhere (CPU tests / virtual meshes).
 
@@ -15,6 +17,12 @@ def render_colors_auto(vertices, colors, triangles, h: int = 224,
     An under-estimated ``bb`` is caught by the kernel's device-side
     preflight, which falls back to a full-canvas window — correct output,
     reduced throughput (raster_pallas.rasterize_winner_pallas guard).
+
+    ``xband`` (default on) runs the x-banded kernel on canvases wider
+    than 128 px: 128-lane windows, measured 8-9% faster than the plain
+    per-triangle kernel at production scale (docs/PERF.md round 4),
+    bit-exact, with its own device-side x-extent preflight falling back
+    to the full-width kernel.
 
     ``group`` > 0 selects the grouped-RMW kernel (one depth-window RMW
     per ``group`` consecutive triangles; exact via order-free merge +
@@ -27,6 +35,9 @@ def render_colors_auto(vertices, colors, triangles, h: int = 224,
             return render_colors_grouped_pallas(
                 vertices, colors, triangles, h=h, w=w, win=win,
                 group=group)
+        if xband and h % 8 == 0:
+            return render_colors_xband_pallas(vertices, colors, triangles,
+                                              h=h, w=w, win=win)
         return render_colors_pallas(vertices, colors, triangles, h=h, w=w,
                                     win=win)
     from voicepuppet_tpu.face3d.raster import render_colors
@@ -34,5 +45,6 @@ def render_colors_auto(vertices, colors, triangles, h: int = 224,
 
 
 __all__ = ["render_colors_pallas", "render_colors_grouped_pallas",
-           "rasterize_winner_pallas", "rasterize_triangles_pallas",
-           "render_texture_pallas", "render_colors_auto"]
+           "render_colors_xband_pallas", "rasterize_winner_pallas",
+           "rasterize_triangles_pallas", "render_texture_pallas",
+           "render_colors_auto"]

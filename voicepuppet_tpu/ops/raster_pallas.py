@@ -125,7 +125,8 @@ def _triangle_table(vertices: jax.Array, triangles: jax.Array,
 
 def _raster_kernel(tri_ref, depth_ref, winner_ref, *, h: int, w: int,
                    num_tri: int, win: int, fb: int, chunk: int,
-                   unroll: int = 4, band_h: int = 0):
+                   unroll: int = 4, band_h: int = 0,
+                   nb_bands: int = 0):
     """``band_h``: x-banded mode (rasterize_winner_xband_pallas) — the
     output rows hold ``h // band_h`` stacked band_h-row bands and y0w
     (slot 15) is pre-shifted by band·band_h for ADDRESSING only; the
@@ -164,7 +165,14 @@ def _raster_kernel(tri_ref, depth_ref, winner_ref, *, h: int, w: int,
         y_min = tri_ref[fr, i, 13]
         y_max = tri_ref[fr, i, 14]
         y0w = pl.multiple_of(tri_ref[fr, i, 15].astype(jnp.int32), 8)
-        y0c = y0w % band_h if band_h else y0w
+        if band_h:
+            # y0w % band_h without the scalar-division latency: nb is
+            # tiny (2-3 bands), so peel h off with compare-selects
+            y0c = y0w
+            for _ in range((nb_bands or 2) - 1):
+                y0c = jnp.where(y0c >= band_h, y0c - band_h, y0c)
+        else:
+            y0c = y0w
 
         rows = row_off + y0c.astype(jnp.float32)
         px = col - p0x
@@ -622,7 +630,8 @@ def rasterize_winner_xband_pallas(vertices: jax.Array,
     band_kernel = functools.partial(_raster_kernel, h=nb * h,
                                     w=XBAND_LANES, num_tri=f, win=win,
                                     fb=fb, chunk=chunk,
-                                    unroll=_unroll_for(chunk), band_h=h)
+                                    unroll=_unroll_for(chunk), band_h=h,
+                                    nb_bands=nb)
 
     def run_band(tab):
         depth_b, winner_b = _winner_pallas_call(
