@@ -217,7 +217,10 @@ def test_convert_all_end_to_end(tmp_path):
                                                     UnetMobilenetV2)
     torch.save({"state_dict": UnetMobilenetV2().state_dict()},
                str(assets / "mobilenetV2_model_checkpoint_metric.pth"))
-    torch.save({"state_dict": DIMMatting().state_dict()},
+    # the released BEST_checkpoint.tar pickles the whole DataParallel-
+    # wrapped module (make_data_from_GRID.py:510-513) — mirror that layout
+    import torch.nn as torch_nn
+    torch.save({"model": torch_nn.DataParallel(DIMMatting())},
                str(assets / "BEST_checkpoint.tar"))
 
     # --- sweep ---

@@ -216,7 +216,7 @@ def test_torch_prep_models_forward():
     tm = torch.rand(1, 1, 32, 32)
     with torch.no_grad():
         alpha = dim(rgb, tm)
-    assert alpha.shape == (1, 1, 32, 32)
+    assert alpha.shape == (1, 32, 32)
     assert float(alpha.min()) >= 0.0 and float(alpha.max()) <= 1.0
 
 
@@ -313,7 +313,7 @@ def test_tf_checkpoint_mapping_roundtrip(tmp_path):
 def test_unet_resnet_forward():
     import torch
     from voicepuppet_tpu.tools.models_torch import UnetResNet
-    m = UnetResNet(34).eval()
+    m = UnetResNet(model="resnet34").eval()
     with torch.no_grad():
         y = m(torch.rand(1, 3, 64, 64))
     assert tuple(y.shape) == (1, 1, 64, 64)

@@ -217,8 +217,16 @@ class Schedule:
         trimap[unknown] = 0.5
         rgb = torch.from_numpy(img[..., :3]).float().permute(2, 0, 1)[None]
         tm = torch.from_numpy(trimap).float()[None, None]
+        # DIM's 5 argmax-poolings need H, W divisible by 32 — replicate-pad
+        # then crop (the reference runs fixed 320x320 crops, ref :654-672)
+        h, w = trimap.shape
+        ph, pw = (-h) % 32, (-w) % 32
+        if ph or pw:
+            import torch.nn.functional as tF
+            rgb = tF.pad(rgb, (0, pw, 0, ph), mode="replicate")
+            tm = tF.pad(tm, (0, pw, 0, ph), mode="replicate")
         with torch.no_grad():
-            out = self._dim(rgb, tm)[0, 0].numpy()
+            out = self._dim(rgb, tm)[0].numpy()[:h, :w]
         refined = trimap.copy()
         refined[unknown] = out[unknown]
         return refined
