@@ -10,7 +10,18 @@ Baseline: the v5e-8 target is ≥625 frames/s (BASELINE.md), i.e. 78.125
 frames/s per chip — ``vs_baseline`` is measured frames/s divided by that
 per-chip share.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+The extra keys make the number self-attributing (round-4 VERDICT #4/#3):
+
+* ``fps_runs``: every completed run's frames/s, so the spread separates a
+  code regression (uniformly low) from tunnel weather (high variance),
+* ``d2h_MBps``: measured device->host bandwidth per run window via a
+  fresh 4 MB fetch (``np.asarray`` caches host copies — each probe uses
+  a fresh buffer).  The e2e path fetches ~0.38 MB/frame of YUV 4:2:0, so
+  the transfer-bound fps ceiling is ~ d2h_MBps / 0.384,
+* ``raster_parity``: the on-chip Mosaic kernel parity gate
+  (voicepuppet_tpu/ops/raster_selftest.py) — exact-equality of the
+  production kernels vs the sequential C++ spec on the quirk meshes.
 """
 
 import json
@@ -25,7 +36,10 @@ import numpy as np
 # "Environment ceilings"); a watchdog emits the best completed measurement
 # instead of hanging the driver.
 WATCHDOG_SECONDS = 2400.0
-_best = {"fps": None, "runs": 0, "compute_fps": None}
+_best = {"fps": None, "runs": 0, "compute_fps": None, "fps_runs": [],
+         "d2h_MBps": [], "raster_parity": "not run"}
+
+D2H_PROBE_BYTES = 4 << 20
 
 
 def _emit(fps: float, watchdog: bool = False):
@@ -46,6 +60,9 @@ def _emit(fps: float, watchdog: bool = False):
         # compute rate governs
         "compute_fps": (round(_best["compute_fps"], 1)
                         if _best["compute_fps"] else None),
+        "fps_runs": [round(v, 1) for v in _best["fps_runs"]],
+        "d2h_MBps": [round(v, 1) for v in _best["d2h_MBps"]],
+        "raster_parity": _best["raster_parity"],
     }), flush=True)
 
 
@@ -57,6 +74,22 @@ def _watchdog():
     print("bench watchdog: no run completed (tunnel stalled)",
           file=sys.stderr, flush=True)
     os._exit(1)
+
+
+def _probe_d2h(jax) -> float:
+    """MB/s of one fresh-buffer device->host fetch.  A fresh buffer per
+    probe: np.asarray caches the host copy ON the array, so re-fetching
+    an old buffer measures nothing (CLAUDE.md)."""
+    import jax.numpy as jnp
+    n = D2H_PROBE_BYTES // 4
+    salt = float(len(_best["d2h_MBps"]) + 1)
+    buf = jax.jit(lambda s: jnp.arange(n, dtype=jnp.float32) * s)(salt)
+    buf.block_until_ready()
+    t0 = time.time()
+    host = np.asarray(buf)
+    dt = time.time() - t0
+    assert host[1] == salt
+    return (n * 4 / 1e6) / max(dt, 1e-9)
 
 
 def main():
@@ -108,10 +141,19 @@ def main():
     while runs < 4 or (time.time() < deadline and runs < 60):
         t0 = time.time()
         frames = run()      # steady state
-        fps = max(fps, frames.shape[0] / (time.time() - t0))
+        run_fps = frames.shape[0] / (time.time() - t0)
+        fps = max(fps, run_fps)
         _best["fps"] = fps
+        _best["fps_runs"].append(run_fps)
         runs += 1
         _best["runs"] = runs
+        # d2h weather alongside every few fps samples — enough to read
+        # the correlation without spending the run budget on probes
+        if runs <= 2 or runs % 5 == 0:
+            try:
+                _best["d2h_MBps"].append(_probe_d2h(jax))
+            except Exception:
+                pass
         if runs == 1:
             # weather-independent compute capability.  Measured only
             # AFTER the first e2e result is recorded: a tunnel stall in
@@ -123,6 +165,17 @@ def main():
                     _best["compute_fps"] = chunk / per_chunk
             except Exception:
                 pass
+        if runs == 2 and os.environ.get("BENCH_RASTER_PARITY", "1") != "0":
+            # on-chip Mosaic parity gate (VERDICT #3) — also only after
+            # the headline number is safe; compile-cached after first run
+            try:
+                from voicepuppet_tpu.ops.raster_selftest import run_selftest
+                rep = run_selftest()
+                _best["raster_parity"] = ("ok" if rep["ok"] else {
+                    k: v for k, v in rep["cases"].items()
+                    if not v.startswith("ok")})
+            except Exception as exc:
+                _best["raster_parity"] = f"error: {type(exc).__name__}"
 
     _emit(fps)
 

@@ -19,10 +19,14 @@ def render_colors_auto(vertices, colors, triangles, h: int = 224,
     reduced throughput (raster_pallas.rasterize_winner_pallas guard).
 
     ``xband`` (default on) runs the x-banded kernel on canvases wider
-    than 128 px: 128-lane windows, measured 8-9% faster than the plain
-    per-triangle kernel at production scale (docs/PERF.md round 4),
-    bit-exact, with its own device-side x-extent preflight falling back
-    to the full-width kernel.
+    than 128 px: 128-lane windows, measured faster than the plain
+    per-triangle kernel at the production 224² raster (A/B table:
+    docs/PERF.md "x-banded kernel"), bit-exact, with its own
+    device-side x-extent preflight falling back to the full-width
+    kernel.  Dispatched only when the stacked band buffer is no larger
+    than the plain kernel's lane-padded buffer (nb·128 <= w padded to
+    128) — true at 224, false at e.g. 256/512 where the extra bands
+    would only raise VMEM pressure.
 
     ``group`` > 0 selects the grouped-RMW kernel (one depth-window RMW
     per ``group`` consecutive triangles; exact via order-free merge +
@@ -35,7 +39,11 @@ def render_colors_auto(vertices, colors, triangles, h: int = 224,
             return render_colors_grouped_pallas(
                 vertices, colors, triangles, h=h, w=w, win=win,
                 group=group)
-        if xband and h % 8 == 0:
+        from voicepuppet_tpu.ops.raster_pallas import (XBAND_LANES,
+                                                       _num_xbands)
+        lanes_ok = (_num_xbands(w) * XBAND_LANES
+                    <= -(-w // XBAND_LANES) * XBAND_LANES)
+        if xband and h % 8 == 0 and lanes_ok:
             return render_colors_xband_pallas(vertices, colors, triangles,
                                               h=h, w=w, win=win)
         return render_colors_pallas(vertices, colors, triangles, h=h, w=w,

@@ -136,6 +136,10 @@ def _raster_kernel(tri_ref, depth_ref, winner_ref, *, h: int, w: int,
     bit-safe in float32: the sum lands on a coarser ulp grid and drops
     low bits of p0y, flipping borderline inside tests (caught on-device
     in round 4 — 5/114k winner flips on the real mesh)."""
+    # band_h requires the band count: the y rebase below peels band_h
+    # off y0c exactly (nb_bands - 1) times, so a defaulted nb_bands
+    # would silently leave top-band rows unrebased for nb >= 3
+    assert band_h == 0 or nb_bands >= 1, (band_h, nb_bands)
     chunk_id = pl.program_id(1)
 
     @pl.when(chunk_id == 0)
@@ -169,7 +173,7 @@ def _raster_kernel(tri_ref, depth_ref, winner_ref, *, h: int, w: int,
             # y0w % band_h without the scalar-division latency: nb is
             # tiny (2-3 bands), so peel h off with compare-selects
             y0c = y0w
-            for _ in range((nb_bands or 2) - 1):
+            for _ in range(nb_bands - 1):
                 y0c = jnp.where(y0c >= band_h, y0c - band_h, y0c)
         else:
             y0c = y0w
@@ -551,8 +555,13 @@ def _xband_table(table: jax.Array, h: int, nb: int
     Returns (banked table, fits_x): fits_x is True iff every triangle's
     x-extent lands inside its band — x_max - 96·band <= 127, guaranteed
     for spans <= 33 px except degenerate/oversized ones, which the guard
-    routes to the full-width kernel.  Padded rows (x_min 0, x_max -1)
-    take band 0 and never draw."""
+    routes to the full-width kernel.  fits_x ALSO requires
+    |p0x| < 2^29: x_min/x_max are canvas-clipped, but p0x is the raw
+    vertex coordinate, and the -96·band shift is exact only while
+    ulp(p0x) divides 96 (ulp <= 32, i.e. |p0x| < 2^29) — a mesh with a
+    far off-canvas vertex whose clipped bbox still fits its band would
+    otherwise round p0x and flip borderline inside tests.  Padded rows
+    (x_min 0, x_max -1) take band 0 and never draw."""
     bank = jnp.clip(jnp.floor(table[..., 11] / float(XBAND_STRIDE)),
                     0.0, float(nb - 1))
     xs = bank * float(XBAND_STRIDE)
@@ -562,7 +571,8 @@ def _xband_table(table: jax.Array, h: int, nb: int
     t = t.at[..., 11].add(-xs)
     t = t.at[..., 12].add(-xs)
     t = t.at[..., 15].add(ys)
-    fits_x = jnp.all(t[..., 12] <= float(XBAND_LANES - 1))
+    fits_x = (jnp.all(t[..., 12] <= float(XBAND_LANES - 1))
+              & jnp.all(jnp.abs(table[..., 0]) < float(2 ** 29)))
     return t, fits_x
 
 
