@@ -209,6 +209,9 @@ class Synthesizer:
         self._coeff_prog = jax.jit(self._coeff_program)
         self._frame_prog_cache: Dict = {}
         self._drain_pool = None
+        # tail bucketing in render_frames (A/B toggle for
+        # experiments/profile_tail_bucket.py; always on in production)
+        self._tail_bucket = True
         # raster_group > 0 selects the grouped-RMW Mosaic kernel (one
         # depth-window RMW per `raster_group` consecutive triangles;
         # exact — falls back per-triangle when the mesh order lacks
@@ -404,6 +407,11 @@ class Synthesizer:
         # keeps writes to `frames` ordered — each task writes a disjoint
         # slice.  Pipeline depth 4 rides out tunnel-latency jitter (a
         # packed uint8 chunk is ~6-13 MB in HBM — depth is cheap).
+        # A staged drain (unpack in a second worker) was A/B'd and is a
+        # measured WASH (0.96x, experiments/profile_drain.py):
+        # copy_to_host_async at dispatch time already pipelines the wire,
+        # so the unpack never blocks the link — see docs/PERF.md
+        # "Staged drain — measured, REJECTED".
         # The executor PERSISTS on the Synthesizer: a streaming caller
         # renders one small block per call and must not pay thread setup
         # per block (round-2 VERDICT weak #4).
@@ -412,11 +420,29 @@ class Synthesizer:
         futures = []
         for start in range(0, t, c):
             n = min(c, t - start)
-            coeff_c = np.zeros((c, 257), np.float32)
+            # tail bucket: the LAST chunk pads to the smallest power of
+            # two >= n instead of the full chunk.  fetch_frames must
+            # fetch the WHOLE buffer (see its docstring), so a 9-frame
+            # tail in a 32-frame buffer wastes 23 frames of d2h — ~8-12%
+            # of total bytes on a wire-bound path.  jit retraces once per
+            # distinct tail size (<= log2(chunk/8) extra compiles,
+            # persisted in the compilation cache).  Floor 8: the Mosaic
+            # raster kernels interleave fb=8 frames per grid step.
+            cc = c
+            if n < c and self._tail_bucket:
+                cc = 8
+                while cc < n:
+                    cc *= 2
+                if self.mesh is not None and self.mesh_partition == "frames":
+                    nd = self.mesh.shape["data"]
+                    cc = max(cc, nd)
+                    cc += (-cc) % nd
+                cc = min(cc, c)
+            coeff_c = np.zeros((cc, 257), np.float32)
             coeff_c[:n] = coeff_seq[start:start + n]
-            ang_c = np.zeros((c, 3), np.float32)
+            ang_c = np.zeros((cc, 3), np.float32)
             ang_c[:n] = angles[start:start + n]
-            idx_c = np.zeros((c,), np.int32)
+            idx_c = np.zeros((cc,), np.int32)
             idx_c[:n] = bg_idx_all[start:start + n]
             out, _, _ = prog(self.g_params, jnp.asarray(coeff_c),
                              jnp.asarray(ang_c), bg_pool,
