@@ -109,6 +109,33 @@ def test_frame_chunking_pads_tail(cfg, demo):
     assert frames.shape[0] == 5  # chunk=16 padded, tail trimmed
 
 
+@pytest.mark.slow
+def test_tail_bucket_only_changes_tail_chunk(cfg, demo):
+    """The tail bucket (render_frames pads the LAST chunk to a power of
+    two instead of the full chunk — 7% of serving d2h bytes, docs/PERF.md
+    "Tail bucket") must leave every FULL chunk bit-identical; tail-chunk
+    values may shift only by the per-batch-BN pad-count dependence
+    (reference training=True BN semantics), bounded tightly."""
+    synth, identity = demo
+    t = 21  # chunk=16 -> one full chunk + 5-frame tail (bucketed to 8)
+    coeff = np.asarray(
+        np.random.RandomState(3).randn(t, 257), np.float32) * 0.1
+    ref = np.zeros((S, S, 3), np.float32)
+    from voicepuppet_tpu.pipeline.synthesize import constant_background
+
+    outs = {}
+    for tb in (True, False):
+        synth._tail_bucket = tb
+        bg = constant_background(np.zeros((S, S, 3), np.float32))
+        outs[tb] = synth.render_frames(coeff, identity, ref, ref, bg)
+    synth._tail_bucket = True
+    a, b = outs[True], outs[False]
+    assert a.shape == b.shape == (t, S, S, 3)
+    np.testing.assert_array_equal(a[:16], b[:16])
+    tail_diff = np.abs(a[16:].astype(int) - b[16:].astype(int))
+    assert tail_diff.mean() < 3.0
+
+
 def test_sat_alignment_contract():
     from voicepuppet_tpu.pipeline.detect import (CenteredFaceProvider,
                                                  sat_alignment)
