@@ -334,7 +334,7 @@ class masked_gru(nn.Module):
             if self.axis_name is not None:
                 # mark the initial carry as device-varying so the scan's
                 # carry types agree under shard_map VMA checking
-                h0 = jax.lax.pvary(h0, self.axis_name)
+                h0 = jax.lax.pcast(h0, self.axis_name, to="varying")
             _, outputs = cell(h0, x)
             # dynamic_rnn final-state semantics: the carry freezes at each
             # row's seq_len, i.e. final = output at t=seq_len-1 (GRU

@@ -144,7 +144,7 @@ class Conv2dGRU(nn.Module):
                        out_axes=1)(self.filters, self.bn_axis, train)
         h0 = jnp.zeros((b, h, w, self.filters), inputs.dtype)
         if self.bn_axis is not None:
-            h0 = jax.lax.pvary(h0, self.bn_axis)
+            h0 = jax.lax.pcast(h0, self.bn_axis, to="varying")
         _, out = cell(h0, inputs)
         mask = (jnp.arange(t)[None, :] < seq_len[:, None]).astype(
             inputs.dtype)
