@@ -118,9 +118,18 @@ def run_main(main, tmp_path, cfg_path, name, *extra):
 
 
 def test_bfmnet_cli(dataset, tmp_path):
+    import glob
     from voicepuppet_tpu.train import bfmnet_trainer
     cfg_path = make_yaml(tmp_path, dataset, "train_seq.txt")
-    run_main(bfmnet_trainer.main, tmp_path, cfg_path, "bfmnet")
+    # --profile_steps also pins the ProfilerHook plumbing end-to-end
+    # (SURVEY §5: the reference has no tracing at all)
+    run_main(bfmnet_trainer.main, tmp_path, cfg_path, "bfmnet",
+             "--profile_steps", "1", "--profile_start", "1")
+    traces = glob.glob(
+        str(tmp_path / "log_bfmnet" / "profile" / "**" / "*"),
+        recursive=True)
+    assert any(p.endswith(".xplane.pb") or p.endswith(".json.gz")
+               for p in traces), f"no profiler trace written: {traces}"
 
 
 def test_atnet_cli(dataset, tmp_path):

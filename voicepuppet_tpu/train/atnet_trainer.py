@@ -107,7 +107,7 @@ class ATNetTrainer:
             ears, poses, mfccs, example_lmk, seq_len, train=False)
 
     def fit(self, state, batches: Iterator, num_steps: int, logger=None,
-            ckpt=None, seed: int = 0):
+            ckpt=None, seed: int = 0, profiler=None):
         rng = jax.random.PRNGKey(seed)
         # materialize gradient trees only if the logger would actually
         # write histograms (constructor log_gradients overrides)
@@ -115,6 +115,8 @@ class ATNetTrainer:
                       else logger is not None
                       and getattr(logger, "wants_histograms", False))
         for _ in range(num_steps):
+            if profiler is not None:
+                profiler.step(int(state.step))
             rng, sub = jax.random.split(rng)
             state, metrics = self.train_step(state, next(batches), sub,
                                              log_gradients=want_grads)
@@ -129,6 +131,8 @@ class ATNetTrainer:
                                                          "bn"))
             if ckpt is not None:
                 ckpt.maybe_save(int(state.step), state)
+        if profiler is not None:
+            profiler.close()
         return state
 
 
@@ -147,13 +151,16 @@ def main(argv=None):
                                                  prefetch_to_device)
     from voicepuppet_tpu.models.atnet import synthetic_pca_component
     from voicepuppet_tpu.train.checkpoint import CheckpointManager
-    from voicepuppet_tpu.train.metrics import MetricsLogger
+    from voicepuppet_tpu.train.metrics import (MetricsLogger,
+                                                add_profiler_args,
+                                                profiler_from_args)
 
     p = argparse.ArgumentParser()
     p.add_argument("--config_path", required=True)
     p.add_argument("--ckpt_dir", default="ckpt_atnet")
     p.add_argument("--log_dir", default="log")
     p.add_argument("--steps", type=int, default=None)
+    add_profiler_args(p)
     args = p.parse_args(argv)
 
     cfg = load_config(args.config_path)
@@ -180,7 +187,8 @@ def main(argv=None):
                            batch_size=trainer.global_batch)
     steps = args.steps if args.steps is not None else tcfg.epochs
     batches = prefetch_to_device(iter(batcher), trainer.mesh)
-    trainer.fit(state, batches, steps, logger, ckpt)
+    trainer.fit(state, batches, steps, logger, ckpt,
+                profiler=profiler_from_args(args))
 
 
 if __name__ == "__main__":

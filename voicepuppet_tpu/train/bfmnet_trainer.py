@@ -141,7 +141,8 @@ class BFMNetTrainer:
     def fit(self, state: TrainState, batches: Iterator, num_steps: int,
             eval_batches: Optional[Iterator] = None,
             logger=None, ckpt=None, eval_hook: Optional[Callable] = None,
-            seed: int = 0, steps_per_call: int = 1) -> TrainState:
+            seed: int = 0, steps_per_call: int = 1,
+            profiler=None) -> TrainState:
         """``steps_per_call=K`` packs K optimizer steps into each device
         dispatch (``train_multi_step``); eval/checkpoint cadences fire on
         interval *crossings*, at most once per dispatch — preserved when
@@ -165,6 +166,8 @@ class BFMNetTrainer:
                         "cadence coarsens to once per dispatch")
         done = 0
         while done < num_steps:
+            if profiler is not None:
+                profiler.step(int(state.step))
             kk = min(k, num_steps - done)
             if kk == k and k > 1:
                 rng, step_rng = jax.random.split(rng)
@@ -209,6 +212,8 @@ class BFMNetTrainer:
                 if (step // ckpt.save_interval
                         > (step - kk) // ckpt.save_interval and step > 0):
                     ckpt.save(step, state)
+        if profiler is not None:
+            profiler.close()
         return state
 
 
@@ -223,7 +228,9 @@ def main(argv=None):
     from voicepuppet_tpu.face3d.bfm import load_bfm, synthetic_bfm
     from voicepuppet_tpu.data.generators import BFMNetBatcher, FileSource
     from voicepuppet_tpu.train.checkpoint import CheckpointManager
-    from voicepuppet_tpu.train.metrics import MetricsLogger
+    from voicepuppet_tpu.train.metrics import (MetricsLogger,
+                                                add_profiler_args,
+                                                profiler_from_args)
 
     p = argparse.ArgumentParser()
     p.add_argument("--config_path", required=True)
@@ -237,6 +244,7 @@ def main(argv=None):
                         "dropout active the per-step rng chain differs "
                         "from K=1 (equally independent keys, so loss "
                         "curves match in distribution, not bit-wise)")
+    add_profiler_args(p)
     args = p.parse_args(argv)
 
     cfg = load_config(args.config_path)
@@ -277,7 +285,8 @@ def main(argv=None):
     batches = prefetch_to_device(iter(batcher), trainer.mesh)
     trainer.fit(state, batches, steps, iter(eval_batcher), logger,
                 ckpt, eval_hook=eval_hook,
-                steps_per_call=args.steps_per_call)
+                steps_per_call=args.steps_per_call,
+                profiler=profiler_from_args(args))
 
 
 if __name__ == "__main__":

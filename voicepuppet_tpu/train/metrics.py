@@ -122,8 +122,16 @@ class MetricsLogger:
 
 
 class ProfilerHook:
-    """Capture an XLA trace for steps [start, start+count) — absent from the
-    reference entirely."""
+    """Capture an XLA/host trace for steps [start, start+count) into
+    ``log_dir`` (TensorBoard's profile plugin format + perfetto .json.gz)
+    — the reference has no tracing at all (SURVEY §5).
+
+    Wired into every trainer ``fit`` loop via the CLI flags
+    ``--profile_steps N`` / ``--profile_start S``; ``step()`` is called
+    with the global step BEFORE each dispatch, so with
+    ``steps_per_call=K`` the window snaps outward to whole dispatches
+    (a trace cannot start or stop inside one device call).  Skip the
+    first step or two (default start 2): they contain compilation."""
 
     def __init__(self, log_dir: str, start_step: int = 0, num_steps: int = 0):
         self.log_dir = log_dir
@@ -135,9 +143,39 @@ class ProfilerHook:
         import jax
         if self.stop <= self.start:
             return
-        if step == self.start and not self._active:
+        if step >= self.stop:
+            self.close()
+        elif step >= self.start and not self._active:
             jax.profiler.start_trace(self.log_dir)
             self._active = True
-        elif step == self.stop and self._active:
+
+    def close(self):
+        """Stop the trace if still running (end-of-fit safety net so a
+        window past num_steps still flushes to disk)."""
+        if self._active:
+            import jax
             jax.profiler.stop_trace()
             self._active = False
+
+
+def add_profiler_args(parser):
+    """Shared ``--profile_steps`` / ``--profile_start`` flags for every
+    trainer CLI (the reference has no profiler at all, SURVEY §5)."""
+    parser.add_argument(
+        "--profile_steps", type=int, default=0,
+        help="capture a jax.profiler trace for this many steps into "
+             "<log_dir>/profile (TensorBoard profile plugin + perfetto "
+             "trace.json.gz); 0 disables")
+    parser.add_argument(
+        "--profile_start", type=int, default=2,
+        help="global step at which the trace window opens (default 2: "
+             "the first dispatch contains XLA compilation)")
+
+
+def profiler_from_args(args):
+    """None when --profile_steps is 0, else a ProfilerHook writing under
+    <log_dir>/profile."""
+    if getattr(args, "profile_steps", 0) <= 0:
+        return None
+    return ProfilerHook(os.path.join(args.log_dir, "profile"),
+                        args.profile_start, args.profile_steps)

@@ -173,7 +173,7 @@ class PixFlowTrainer:
         return self._infer_step(state.g_params, inputs, fg_inputs)
 
     def fit(self, state, batches: Iterator, num_steps: int, logger=None,
-            ckpt=None, seed: int = 0):
+            ckpt=None, seed: int = 0, profiler=None):
         rng = jax.random.PRNGKey(seed)
         # materialize gradient trees only if the logger would actually
         # write histograms (constructor log_gradients overrides)
@@ -181,6 +181,8 @@ class PixFlowTrainer:
                       else logger is not None
                       and getattr(logger, "wants_histograms", False))
         for _ in range(num_steps):
+            if profiler is not None:
+                profiler.step(int(state.step))
             rng, sub = jax.random.split(rng)
             state, metrics = self.train_step(state, next(batches), sub,
                                              log_gradients=want_grads)
@@ -191,6 +193,8 @@ class PixFlowTrainer:
                     logger.maybe_log_histograms(int(state.step), grads)
             if ckpt is not None:
                 ckpt.maybe_save(int(state.step), state)
+        if profiler is not None:
+            profiler.close()
         return state
 
 
@@ -200,7 +204,9 @@ def main(argv=None):
     from voicepuppet_tpu.data.generators import (FileSource,
                                                  PixFlowBatcher)
     from voicepuppet_tpu.train.checkpoint import CheckpointManager
-    from voicepuppet_tpu.train.metrics import MetricsLogger
+    from voicepuppet_tpu.train.metrics import (MetricsLogger,
+                                                add_profiler_args,
+                                                profiler_from_args)
 
     p = argparse.ArgumentParser()
     p.add_argument("--config_path", required=True)
@@ -212,6 +218,7 @@ def main(argv=None):
                    help="bfloat16 = mixed-precision step (params/optimizer/"
                         "losses stay float32; measured SLOWER on v5e — "
                         "see docs/PERF.md)")
+    add_profiler_args(p)
     args = p.parse_args(argv)
 
     cfg = load_config(args.config_path)
@@ -234,7 +241,8 @@ def main(argv=None):
         num_workers=4)
     batches = prefetch_to_device(bg, trainer.mesh)
     try:
-        trainer.fit(state, batches, steps, logger, ckpt)
+        trainer.fit(state, batches, steps, logger, ckpt,
+                    profiler=profiler_from_args(args))
     finally:
         bg.close()
 

@@ -252,7 +252,8 @@ class PixReferTrainer:
 
     # ---- loop (ref: train_pixrefer.py:134-153) ----
     def fit(self, state, batches: Iterator, num_steps: int, logger=None,
-            ckpt=None, seed: int = 0, steps_per_call: int = 1):
+            ckpt=None, seed: int = 0, steps_per_call: int = 1,
+            profiler=None):
         """``steps_per_call=K`` packs K D+G steps per device dispatch
         (``train_multi_step``); summary/checkpoint cadences fire when one
         of the dispatch's step values is an exact interval multiple, at
@@ -276,6 +277,8 @@ class PixReferTrainer:
                         "per dispatch")
         done = 0
         while done < num_steps:
+            if profiler is not None:
+                profiler.step(int(state.step))
             kk = min(k, num_steps - done)
             if kk == k and k > 1:
                 rng, sub = jax.random.split(rng)
@@ -328,6 +331,8 @@ class PixReferTrainer:
                 if _hit_interval(step, 2, kk, ckpt.save_interval) \
                         and step > 0:
                     ckpt.save(step, state)
+        if profiler is not None:
+            profiler.close()
         return state
 
 
@@ -338,7 +343,9 @@ def main(argv=None):
     from voicepuppet_tpu.data.generators import (FileSource,
                                                  PixReferBatcher)
     from voicepuppet_tpu.train.checkpoint import CheckpointManager
-    from voicepuppet_tpu.train.metrics import MetricsLogger
+    from voicepuppet_tpu.train.metrics import (MetricsLogger,
+                                                add_profiler_args,
+                                                profiler_from_args)
 
     p = argparse.ArgumentParser()
     p.add_argument("--config_path", required=True)
@@ -360,6 +367,7 @@ def main(argv=None):
                    help="pack K D+G steps into one device dispatch via a "
                         "device-side lax.scan (amortizes the per-dispatch "
                         "round trip; docs/PERF.md)")
+    add_profiler_args(p)
     args = p.parse_args(argv)
 
     cfg = load_config(args.config_path)
@@ -389,7 +397,8 @@ def main(argv=None):
     batches = prefetch_to_device(bg, trainer.mesh)
     try:
         trainer.fit(state, batches, steps, logger, ckpt,
-                    steps_per_call=args.steps_per_call)
+                    steps_per_call=args.steps_per_call,
+                    profiler=profiler_from_args(args))
     finally:
         bg.close()
 

@@ -148,15 +148,19 @@ class VGNetTrainer:
         return fn(state, shard_batch(host_batch, self.mesh), rng)
 
     def fit(self, state, batches: Iterator, num_steps: int, logger=None,
-            ckpt=None, seed: int = 0):
+            ckpt=None, seed: int = 0, profiler=None):
         rng = jax.random.PRNGKey(seed)
         for _ in range(num_steps):
+            if profiler is not None:
+                profiler.step(int(state.step))
             rng, sub = jax.random.split(rng)
             state, metrics = self.train_step(state, next(batches), sub)
             if logger is not None:
                 logger.log(int(state.step), **metrics)
             if ckpt is not None:
                 ckpt.maybe_save(int(state.step), state)
+        if profiler is not None:
+            profiler.close()
         return state
 
 
@@ -174,7 +178,9 @@ def main(argv=None):
                                                  prefetch_to_device)
     from voicepuppet_tpu.models.atnet import synthetic_pca_component
     from voicepuppet_tpu.train.checkpoint import CheckpointManager
-    from voicepuppet_tpu.train.metrics import MetricsLogger
+    from voicepuppet_tpu.train.metrics import (MetricsLogger,
+                                                add_profiler_args,
+                                                profiler_from_args)
 
     p = argparse.ArgumentParser()
     p.add_argument("--config_path", required=True)
@@ -183,6 +189,7 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--alternative", type=int, default=1000,
                    help="D/G phase length (train_vgnet.py:133)")
+    add_profiler_args(p)
     args = p.parse_args(argv)
 
     cfg = load_config(args.config_path)
@@ -208,7 +215,8 @@ def main(argv=None):
                            batch_size=trainer.global_batch)
     steps = args.steps if args.steps is not None else tcfg.epochs
     batches = prefetch_to_device(iter(batcher), trainer.mesh)
-    trainer.fit(state, batches, steps, logger, ckpt)
+    trainer.fit(state, batches, steps, logger, ckpt,
+                profiler=profiler_from_args(args))
 
 
 if __name__ == "__main__":
