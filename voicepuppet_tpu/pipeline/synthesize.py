@@ -408,7 +408,7 @@ class Synthesizer:
         # slice.  Pipeline depth 4 rides out tunnel-latency jitter (a
         # packed uint8 chunk is ~6-13 MB in HBM — depth is cheap).
         # A staged drain (unpack in a second worker) was A/B'd and is a
-        # measured WASH (0.96x, experiments/profile_drain.py):
+        # measured WASH (0.96x, round-5 interleaved A/B):
         # copy_to_host_async at dispatch time already pipelines the wire,
         # so the unpack never blocks the link — see docs/PERF.md
         # "Staged drain — measured, REJECTED".
