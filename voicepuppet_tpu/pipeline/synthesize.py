@@ -82,34 +82,25 @@ def splice_coeff_sequence(identity_coeff: np.ndarray,
     return jnp.concatenate([head, exp_seq, tail], axis=-1)[0]
 
 
-# BT.601 full-range RGB->YUV as one 3x3 matrix (columns y,u,v), the
-# algebraic expansion of y=.299r+.587g+.114b, u=(b-y)*.564+128,
-# v=(r-y)*.713+128
-_RGB2YUV = np.array([
-    [0.299, -0.299 * 0.564, (1 - 0.299) * 0.713],
-    [0.587, -0.587 * 0.564, -0.587 * 0.713],
-    [0.114, (1 - 0.114) * 0.564, -0.114 * 0.713],
-], np.float32)
-
-
 def _pack_yuv420(frames: jax.Array) -> jax.Array:
     """[C,S,S,3] float in [0,1] -> [C, S*S*3//2] uint8 planar YUV 4:2:0
     (BT.601 full-range; chroma = 2x2 box mean).  Runs on device so the
     d2h transfer carries 1.5 bytes/pixel instead of 3.
 
-    The color transform runs as ONE [.,3]@[3,3] MXU einsum instead of
-    three chained elementwise passes: measured 4.97 -> 1.51 ms per
-    16-frame 512² chunk (experiments/profile_pack.py; a planar relayout
-    with the chained math was 4.98 — the win is the fusion, not layout).
-    The einsum's summation order differs from the chained form only on
-    exact .5 round ties: measured 18 ±1 flips per 6.3M values."""
+    Deliberately the chained elementwise form: an MXU-einsum rewrite of
+    the 3x3 color transform measured 3.3x faster IN ISOLATION (4.97 ->
+    1.51 ms/chunk) but +0.6 ms/chunk SLOWER inside the full frame
+    program — in context XLA fuses these elementwise passes into the
+    G/composite producers, while a matmul forces its input to
+    materialize (experiments/profile_pack.py isolated,
+    profile_pack_inprogram.py authoritative; docs/PERF.md "YUV pack
+    einsum — REJECTED in-program")."""
     c, s = frames.shape[0], frames.shape[1]
     f = jnp.clip(frames, 0.0, 1.0) * 255.0
-    yuv = jnp.einsum("chwk,kj->jchw", f, jnp.asarray(_RGB2YUV),
-                     precision=jax.lax.Precision.HIGHEST)
-    y = yuv[0]
-    u = yuv[1] + 128.0
-    v = yuv[2] + 128.0
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = (b - y) * 0.564 + 128.0
+    v = (r - y) * 0.713 + 128.0
     u = u.reshape(c, s // 2, 2, s // 2, 2).mean(axis=(2, 4))
     v = v.reshape(c, s // 2, 2, s // 2, 2).mean(axis=(2, 4))
     packed = jnp.concatenate(
