@@ -17,7 +17,7 @@ Exactness model:
     the context sizes (pinned by tests/test_streaming.py).
   * Latency = ``ctx_right`` frames (default 12 ≈ 0.48 s at 25 fps) plus
     one chunk.  Measured presets (experiments/streaming_quality.py,
-    docs/PERF.md "Reduced-context serving"): the trunk's effective right
+    docs/PERF.md "Reduced-context (low-latency) serving"): the trunk's effective right
     context is ≤3 frames, so ``chunk=4, ctx_right=3`` cuts algorithmic
     first-frame latency 4x with interior frames at f32-noise parity;
     only fully causal (``ctx_right=0``) pays a real steady-state cost.

@@ -93,8 +93,8 @@ def _pack_yuv420(frames: jax.Array) -> jax.Array:
     program — in context XLA fuses these elementwise passes into the
     G/composite producers, while a matmul forces its input to
     materialize (experiments/profile_pack.py isolated,
-    profile_pack_inprogram.py authoritative; docs/PERF.md "YUV pack
-    einsum — REJECTED in-program")."""
+    profile_pack_inprogram.py authoritative; docs/PERF.md "Pack einsum
+    — isolated 3.3x, REJECTED in-program")."""
     c, s = frames.shape[0], frames.shape[1]
     f = jnp.clip(frames, 0.0, 1.0) * 255.0
     r, g, b = f[..., 0], f[..., 1], f[..., 2]
